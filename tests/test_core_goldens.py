@@ -1,0 +1,112 @@
+"""Golden span-sequence tests for the pure extraction cores (FIXTURES.md §3).
+
+Each canonical document's output spans must equal the hand-traced contract
+tuple-for-tuple ``(kind, text, media_ref, order)``, and the concatenation of
+span texts must reproduce the reference's ``return_string`` output
+(invariant 1).
+"""
+
+import pytest
+
+from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
+    extract_document,
+)
+from tests import fixtures as fx
+
+GOLDEN_IDS = [doc["doc_id"] for doc, _ in fx.GOLDEN_DOCS]
+
+
+def _run(doc):
+    spans = [(k, t, r) for k, t, r, _ in sorted(doc["spans"], key=lambda s: s[3])]
+    out, status = extract_document(doc["fmt"], spans, doc["title"], doc["author"])
+    assert status == "ok"
+    return out
+
+
+@pytest.mark.parametrize("doc,expected", fx.GOLDEN_DOCS, ids=GOLDEN_IDS)
+def test_golden_span_sequence(doc, expected):
+    assert _run(doc) == expected
+
+
+@pytest.mark.parametrize("doc,expected", fx.GOLDEN_DOCS, ids=GOLDEN_IDS)
+def test_concat_invariant(doc, expected):
+    out = _run(doc)
+    assert "".join(t for _, t, _, _ in out) == "".join(t for _, t, _, _ in expected)
+
+
+def test_canonical_strings():
+    """Cross-pins from the reference's own golden assertions."""
+    # test_pdf_conversion.py:166-188
+    out = _run(fx.PDF_001)
+    assert "".join(t for _, t, _, _ in out) == (
+        "First chapter paragraph text.\n***\n"
+        "Lorem ipsum odor amet, consectetuer adipiscing elit. Purus "
+        "suscipit varius est leo parturient.\n"
+        "Venenatis malesuada pretium ligula sagittis tristique varius "
+        "facilisi.\n"
+    )
+    # test_epub_conversion.py:55-61 — first chapter text
+    out = _run(fx.EPUB_001)
+    assert out[0][1] == "First chapter paragraph text."
+
+
+def test_unknown_format_quarantined():
+    out, status = extract_document("mobi", [("line", "x", "")], None, None)
+    assert out == [] and status == "unknown_format"
+
+
+def test_pdf_page_cap():
+    """Spans after the 25th page break are dropped (pdf_converter.py:56)."""
+    pages = [[("line", f"Filler body line {i} stays here. \n", "")] for i in range(40)]
+    # Put a chapter marker deep past the cap: it must not appear.
+    pages[30] = [("line", "Chapter 9 \n", ""), ("line", "Late text. \n", "")]
+    doc = fx._pdf_doc("pdf-cap", pages)
+    out = _run(doc)
+    joined = "".join(t for _, t, _, _ in out)
+    assert "Late text." not in joined
+    assert "Filler body line 24" in joined
+    assert "Filler body line 25" not in joined
+
+
+def test_txt_content_break_lookalike_is_text():
+    """A content line folding to *** is text, not a chapter break."""
+    doc = fx._doc(
+        "txt-stars",
+        "txt",
+        fx._spans([("line", "Opening line.", ""), ("line", "•••", ""), ("line", "More text.", "")]),
+    )
+    out = _run(doc)
+    assert [k for k, _, _, _ in out] == ["text"]
+    assert out[0][1] == "Opening line.\n***\nMore text."
+
+
+def test_docx_sticky_latch_across_pages():
+    """The non-chapter latch persists across page breaks until a chapter."""
+    doc = fx._doc(
+        "docx-latch",
+        "docx",
+        fx._spans(
+            [
+                ("para", "Copyright 2021", ""),
+                ("para", "suppressed paragraph one.", ""),
+                ("page_break", "", ""),
+                ("para", "still suppressed after the break.", ""),
+                ("page_break", "", ""),
+                ("para", "Chapter 1", ""),
+                ("para", "finally visible.", ""),
+            ]
+        ),
+    )
+    out = _run(doc)
+    assert "".join(t for _, t, _, _ in out) == "\nfinally visible."
+
+
+def test_randomized_corpus_runs_clean():
+    """Every randomized doc extracts with status ok and valid span orders."""
+    for doc in fx.random_corpus(200, seed=42):
+        spans = [(k, t, r) for k, t, r, _ in doc["spans"]]
+        out, status = extract_document(doc["fmt"], spans, doc["title"], doc["author"])
+        assert status == "ok"
+        assert [o for _, _, _, o in out] == list(range(len(out)))
+        if out:
+            assert out[0][0] != "chapter_break"
