@@ -1,0 +1,116 @@
+"""End-to-end Spark tests: goldens through mapInPandas, pipeline, resume."""
+
+import pytest
+
+from tests import fixtures as fx
+from tests.conftest import spans_df
+
+
+def _collect_spans(df):
+    out = {}
+    for row in df.collect():
+        out[row.doc_id] = [(s.kind, s.text, s.media_ref, s.order) for s in row.spans]
+    return out
+
+
+def test_golden_docs_through_spark(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+
+    docs = [doc for doc, _ in fx.GOLDEN_DOCS]
+    result = _collect_spans(extract_spans(spans_df(spark, docs)))
+    for doc, expected in fx.GOLDEN_DOCS:
+        assert result[doc["doc_id"]] == expected, doc["doc_id"]
+
+
+def test_out_of_order_offsets_are_sorted(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+
+    doc = dict(fx.TXT_001)
+    doc["spans"] = list(reversed(doc["spans"]))
+    result = _collect_spans(extract_spans(spans_df(spark, [doc])))
+    assert result[doc["doc_id"]] == fx.TXT_001_EXPECTED
+
+
+def test_salted_repartition_matches_narrow_plan(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+
+    docs = fx.random_corpus(60, seed=7)
+    df = spans_df(spark, docs)
+    narrow = _collect_spans(extract_spans(df))
+    salted = _collect_spans(extract_spans(df, repartition=8))
+    assert narrow == salted
+    assert len(narrow) == 60
+
+
+def test_pipeline_with_lineage_and_resume(spark, tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.plans.pipeline import (
+        run_extraction_job,
+    )
+
+    docs = fx.random_corpus(30, seed=3)
+    df = spans_df(spark, docs)
+    out = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+    metrics = str(tmp_path / "metrics")
+
+    summary1 = run_extraction_job(
+        spark, df, out, lineage_path=lineage, metrics_path=metrics
+    )
+    assert sum(m["docs"] for m in summary1["metrics"]) == 30
+    assert spark.read.parquet(out).count() == 30
+
+    # Second run over the same input: everything already committed → no-op.
+    summary2 = run_extraction_job(
+        spark, df, out, lineage_path=lineage, metrics_path=metrics
+    )
+    assert sum(m["docs"] for m in summary2["metrics"]) == 0
+    assert spark.read.parquet(out).count() == 30
+
+    # New documents appear → only they are processed.
+    more = fx.random_corpus(40, seed=3)[30:]
+    for i, d in enumerate(more):
+        d["doc_id"] = f"late-{i:04d}"
+    df3 = spans_df(spark, docs + more)
+    summary3 = run_extraction_job(
+        spark, df3, out, lineage_path=lineage, metrics_path=metrics
+    )
+    assert sum(m["docs"] for m in summary3["metrics"]) == 10
+    assert spark.read.parquet(out).count() == 40
+
+
+def test_documents_adapter_smoke(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.tables import (
+        documents_as_txt_spans,
+    )
+
+    df = documents_as_txt_spans(spark, "/root/testdata/sf0.001")
+    out = extract_spans(df)
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(r.status == "ok" for r in rows)
+
+
+def test_arrow_eval_plan_no_rowwise_python(spark):
+    """The physical plan must use Arrow-batched python (MapInPandas), never
+    row-wise BatchEvalPython, and keep the scan pruned to contract columns."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.tables import (
+        documents_as_txt_spans,
+    )
+
+    plan = extract_spans(
+        documents_as_txt_spans(spark, "/root/testdata/sf0.001")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
