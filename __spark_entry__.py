@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the flagship smoke query; each ``queries()[name]``
+runs at sf=0.01 against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).
+
+Parity rules used throughout (so Spark and DuckDB agree bit-for-bit):
+- all hashing is md5 hex (identical in both engines);
+- float outputs are rounded (4 dp for unit-scale values, 1 dp for large
+  aggregate sums) or replaced by exact integer arithmetic;
+- counts/sizes are cast to BIGINT on both sides;
+- every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +17,621 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ebook_conversion_to_text_for_machine_learning_spark.core.chapter import (
+    BOILERPLATE_PREFIXES,
+    DEFAULT_AUTHOR,
+    DEFAULT_TITLE,
+)
+from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+    dedup as D,
+)
+from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+    media as M,
+)
+from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+    similarity as S,
+)
+from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+    text_stats as T,
+)
+from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+    INPUT_SCHEMA,
+    extract_spans,
+)
+from ebook_conversion_to_text_for_machine_learning_spark.sources.tables import (
+    documents_as_txt_spans,
+    read_table,
+)
+from ebook_conversion_to_text_for_machine_learning_spark.testing import fixtures as fx
+
+EMBED_DIM = 64
+
+# ---------------------------------------------------------------------------
+# Shared expression builders (Spark side)
+# ---------------------------------------------------------------------------
+
+_SMART_FROM = "‘’“”–—•"
+_SMART_TO = "''\"\"--*"
+
+
+def _desmarten(col):
+    return F.replace(F.translate(col, _SMART_FROM, _SMART_TO), F.lit("…"), F.lit("..."))
+
+
+def _pystrip(col):
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def _collapse(col):
+    return F.regexp_replace(_pystrip(col), r"(\s)+", "$1")
+
+
+def _golden_docs_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (
+            d["doc_id"],
+            d["fmt"],
+            d["title"],
+            d["author"],
+            [
+                {"kind": k, "text": t, "media_ref": r, "offset": o}
+                for k, t, r, o in d["spans"]
+            ],
+        )
+        for d, _ in fx.GOLDEN_DOCS
+    ]
+    return spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+_SQL_DESMARTEN = (
+    "replace(translate({col}, '‘’“”–—•', '''''\"\"--*'), '…', '...')"
+)
+_SQL_PYSTRIP = r"regexp_replace({col}, '^\s+|\s+$', '', 'g')"
+_SQL_COLLAPSE = (
+    r"regexp_replace(" + _SQL_PYSTRIP + r", '(\s)+', '\1', 'g')"
+)
+_SQL_TOKENS = "list_filter(string_split_regex({col}, ' +'), x -> x != '')"
+
+_BOILER_PATTERN = "^(?:%s)" % "|".join(
+    sorted(BOILERPLATE_PREFIXES | {DEFAULT_TITLE, DEFAULT_AUTHOR})
+)
+
+_STOPWORD_SQL_LIST = "[%s]" % ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+def _sql_quote(text: str) -> str:
+    return "'" + text.replace("'", "''") + "'"
+
+
+def _golden_values_sql() -> str:
+    rows = []
+    for doc, expected in fx.GOLDEN_DOCS:
+        for kind, text, ref, order in expected:
+            rows.append(
+                f"({_sql_quote(doc['doc_id'])}, {_sql_quote(kind)}, "
+                f"{_sql_quote(text)}, {_sql_quote(ref)}, {order})"
+            )
+    if not rows:
+        rows.append("('x','x','x','x',0) WHERE 1=0")
+    return (
+        "SELECT * FROM (VALUES %s) AS t(doc_id, kind, text, media_ref, span_order)"
+        % ", ".join(rows)
+    )
+
+
+def _sql_minhash_sig_cte() -> str:
+    toks = _SQL_TOKENS.format(col="text")
+    return f"""
+t AS (SELECT doc_id, {toks} AS toks FROM documents),
+grams_t AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' ')))
+    ELSE [] END AS grams
+  FROM t),
+sig AS (SELECT doc_id, {", ".join(
+        f"list_aggregate(list_transform(grams, g -> md5(g || ':{i}')), 'min') AS sig_{i}"
+        for i in range(D.MINHASH_K)
+    )} FROM grams_t)"""
+
+
+def _sql_plane_literal(plane) -> str:
+    return "[" + ", ".join(f"{float(w):.1f}" for w in plane) + "]::DOUBLE[]"
+
+
+def _sql_lsh_bucket(vec_expr: str) -> str:
+    planes = S.hyperplanes(EMBED_DIM)
+    bits = [
+        f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {_sql_plane_literal(p)}) > 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in planes
+    ]
+    return " || ".join(bits)
+
+
+_SQL_COSINE = (
+    "round(list_dot_product({p}::DOUBLE[], {c}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({p}::DOUBLE[], {p}::DOUBLE[])) * "
+    "sqrt(list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]))), 4)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction over sf0.001 documents as txt spans."""
+    extracted = extract_spans(documents_as_txt_spans(spark, "/root/testdata/sf0.001"))
+    return extracted.select(
+        "doc_id",
+        "status",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.array_join(F.transform("spans", lambda s: s["text"]), "").alias("extracted_text"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- extraction semantics -------------------------------------------
+    def extract_goldens(spark, sf_dir):
+        out = extract_spans(_golden_docs_df(spark))
+        span = F.explode("spans").alias("s")
+        return out.select("doc_id", span).select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.order").cast("int").alias("span_order"),
+        )
+
+    q["extract_goldens"] = extract_goldens
+
+    def extract_documents_txt(spark, sf_dir):
+        out = extract_spans(documents_as_txt_spans(spark, sf_dir))
+        return out.select(
+            "doc_id",
+            F.array_join(F.transform("spans", lambda s: s["text"]), "").alias("extracted_text"),
+            F.size("spans").cast("long").alias("n_spans"),
+        )
+
+    q["extract_documents_txt"] = extract_documents_txt
+
+    def extract_random_corpus(spark, sf_dir):
+        docs = fx.random_corpus(300, seed=42)
+        rows = [
+            (
+                d["doc_id"], d["fmt"], d["title"], d["author"],
+                [
+                    {"kind": k, "text": t, "media_ref": r, "offset": o}
+                    for k, t, r, o in d["spans"]
+                ],
+            )
+            for d in docs
+        ]
+        df = spark.createDataFrame(rows, schema=INPUT_SCHEMA)
+        return (
+            extract_spans(df)
+            .groupBy("fmt", "status")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_spans").alias("total_spans"),
+                F.sum("n_media").alias("total_media"),
+            )
+        )
+
+    q["extract_random_corpus"] = extract_random_corpus  # rows-only (state machines)
+
+    # --- scalar text ops (P1-P7) ----------------------------------------
+    def fold_smart_punct(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        decorated = F.concat(F.col("text"), F.lit(" — “q”… ‘x’ •"))
+        return docs.select("doc_id", _desmarten(decorated).alias("folded_text"))
+
+    q["fold_smart_punct"] = fold_smart_punct
+
+    def clean_text_block(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        decorated = F.concat(F.lit("***\n***\n  "), F.col("text"), F.lit("  \n\n"))
+        collapsed = _collapse(decorated)
+        deduped = F.regexp_replace(collapsed, r"(?:\*\*\*\n)+", "***\n")
+        cleaned = F.regexp_replace(deduped, r"^\*\*\*\n", "")
+        return docs.select("doc_id", cleaned.alias("cleaned_text"))
+
+    q["clean_text_block"] = clean_text_block
+
+    def pdf_squeeze(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        decorated = F.concat(F.lit("a\n\n\nb   c  "), F.col("text"))
+        squeezed = F.regexp_replace(F.regexp_replace(decorated, r"\n+", "\n"), " {2,}", " ")
+        return docs.select("doc_id", squeezed.alias("squeezed_text"))
+
+    q["pdf_squeeze"] = pdf_squeeze
+
+    def sentence_end_flag(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        stripped = F.regexp_replace(F.col("text"), r"\s+$", "")
+        flag = stripped.rlike('[.!?]"?$')
+        return docs.select("doc_id", flag.cast("int").alias("ends_sentence"))
+
+    q["sentence_end_flag"] = sentence_end_flag
+
+    def classify_headings(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        trimmed = F.lower(_pystrip(F.col("text")))
+        return docs.select(
+            "doc_id",
+            trimmed.startswith("chapter").cast("int").alias("is_chapter_prefix"),
+            F.lower(F.col("text")).rlike(_BOILER_PATTERN).cast("int").alias("is_boilerplate"),
+        )
+
+    q["classify_headings"] = classify_headings
+
+    # --- text analysis ----------------------------------------------------
+    def token_stats(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        out = T.token_stats(docs)
+        return out.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+
+    q["token_stats"] = token_stats
+
+    def quality_scores(spark, sf_dir):
+        return T.quality_scores(read_table(spark, sf_dir, "documents"))
+
+    q["quality_scores"] = quality_scores
+
+    def language_id(spark, sf_dir):
+        out = T.language_id(read_table(spark, sf_dir, "documents"))
+        casts = [F.col(f"score_{lang}").cast("long").alias(f"score_{lang}") for lang in T.LANG_MARKERS]
+        return out.select("doc_id", "actual_lang", "predicted_lang", *casts)
+
+    q["language_id"] = language_id
+
+    def fingerprints(spark, sf_dir):
+        return T.fingerprints(read_table(spark, sf_dir, "documents"))
+
+    q["fingerprints"] = fingerprints
+
+    # --- dedup -------------------------------------------------------------
+    def exact_dedup(spark, sf_dir):
+        return D.exact_dedup(read_table(spark, sf_dir, "documents"))
+
+    q["exact_dedup"] = exact_dedup
+
+    def minhash_signatures(spark, sf_dir):
+        return D.minhash_signatures(read_table(spark, sf_dir, "documents"))
+
+    q["minhash_signatures"] = minhash_signatures
+
+    def minhash_candidates(spark, sf_dir):
+        return D.minhash_candidate_pairs(read_table(spark, sf_dir, "documents"))
+
+    q["minhash_candidates"] = minhash_candidates
+
+    def ngram_jaccard(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id",
+            F.col("lang").alias("block"),
+            F.array_distinct(T.tokens_col(F.col("text"))).alias("grams"),
+        )
+        left, right = base.alias("l"), base.alias("r")
+        n_common = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams"))).cast("long")
+        n_union = F.size(F.array_union(F.col("l.grams"), F.col("r.grams"))).cast("long")
+        return (
+            left.join(
+                right,
+                (F.col("l.block") == F.col("r.block")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                n_common.alias("n_common"),
+                n_union.alias("n_union"),
+            )
+            .where(F.lit(2) * F.col("n_common") >= F.col("n_union"))
+        )
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    def simhash_signatures(spark, sf_dir):
+        return D.simhash_signatures(read_table(spark, sf_dir, "documents"))
+
+    q["simhash_signatures"] = simhash_signatures
+
+    # --- similarity search --------------------------------------------------
+    def cosine_topk(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        probes = emb.where(F.col("vec_id") < 10)
+        out = S.cosine_topk(emb, probes, k=5)
+        return out.select("probe_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+    q["cosine_topk"] = cosine_topk
+
+    def lsh_signatures(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        return S.lsh_bucket_signatures(emb, EMBED_DIM)
+
+    q["lsh_signatures"] = lsh_signatures
+
+    def lsh_ann_topk(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        probes = emb.where(F.col("vec_id") < 10)
+        out = S.lsh_ann_topk(emb, probes, EMBED_DIM, k=5)
+        return out.select("probe_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+    q["lsh_ann_topk"] = lsh_ann_topk
+
+    # --- multimodal plumbing -------------------------------------------------
+    def media_features(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        payloads = M.attach_payloads(docs, "doc_id", "text", "image")
+        return M.extract_media_features(payloads)
+
+    q["media_features"] = media_features
+
+    # --- relational shell (lineage/metrics-style aggregations + joins) ------
+    def pricing_summary(spark, sf_dir):
+        li = read_table(spark, sf_dir, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 1).alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["pricing_summary"] = pricing_summary
+
+    def nation_revenue(spark, sf_dir):
+        orders = read_table(spark, sf_dir, "orders")
+        customer = read_table(spark, sf_dir, "customer")
+        nation = read_table(spark, sf_dir, "nation")
+        return (
+            orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 1).alias("revenue"),
+            )
+        )
+
+    q["nation_revenue"] = nation_revenue
+
+    def events_hourly(spark, sf_dir):
+        events = read_table(spark, sf_dir, "events")
+        return (
+            events.groupBy(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long").alias("hour_ts"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+    q["events_hourly"] = events_hourly
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tokens = _SQL_TOKENS.format(col="text")
+    tokens_lower = _SQL_TOKENS.format(col="lower(text)")
+    desmarten_text = _SQL_DESMARTEN.format(col="text")
+    o: dict[str, str] = {}
+
+    o["extract_goldens"] = _golden_values_sql()
+
+    o["extract_documents_txt"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         {_SQL_PYSTRIP.format(col="text")} AS trimmed
+  FROM documents
+), cls AS (
+  SELECT doc_id, text,
+    (lower(trimmed) LIKE 'chapter%'
+     OR (strpos(trimmed, ' ') = 0 AND regexp_matches(trimmed, '^[0-9]+$'))) AS is_chap
+  FROM base
+), line AS (
+  SELECT doc_id,
+    CASE WHEN is_chap THEN '***'
+         ELSE {_SQL_COLLAPSE.format(col=desmarten_text)} END AS cleaned
+  FROM cls
+)
+SELECT doc_id,
+  ltrim(CASE WHEN {_SQL_PYSTRIP.format(col="cleaned")} = '' THEN '' ELSE cleaned END, '*') AS extracted_text,
+  CAST(CASE WHEN ltrim(CASE WHEN {_SQL_PYSTRIP.format(col="cleaned")} = '' THEN '' ELSE cleaned END, '*') = ''
+            THEN 0 ELSE 1 END AS BIGINT) AS n_spans
+FROM line"""
+
+    decorated = "text || ' — “q”… ‘x’ •'"
+    o["fold_smart_punct"] = (
+        f"SELECT doc_id, {_SQL_DESMARTEN.format(col=decorated)} AS folded_text FROM documents"
+    )
+
+    cleaned_input = "'***' || chr(10) || '***' || chr(10) || '  ' || text || '  ' || chr(10) || chr(10)"
+    o["clean_text_block"] = rf"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace({_SQL_COLLAPSE.format(col=cleaned_input)}, '(?:\*\*\*\n)+', '***' || chr(10), 'g'),
+    '^\*\*\*\n', '') AS cleaned_text
+FROM documents"""
+
+    o["pdf_squeeze"] = rf"""
+SELECT doc_id,
+  regexp_replace(regexp_replace('a' || chr(10) || chr(10) || chr(10) || 'b   c  ' || text, '\n+', chr(10), 'g'), ' {{2,}}', ' ', 'g') AS squeezed_text
+FROM documents"""
+
+    o["sentence_end_flag"] = r"""
+SELECT doc_id,
+  CAST(regexp_matches(regexp_replace(text, '\s+$', ''), '[.!?]"?$') AS INT) AS ends_sentence
+FROM documents"""
+
+    o["classify_headings"] = f"""
+SELECT doc_id,
+  CAST(lower({_SQL_PYSTRIP.format(col="text")}) LIKE 'chapter%' AS INT) AS is_chapter_prefix,
+  CAST(regexp_matches(lower(text), '{_BOILER_PATTERN}') AS INT) AS is_boilerplate
+FROM documents"""
+
+    o["token_stats"] = f"""
+SELECT doc_id,
+  CAST(len({tokens}) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct({tokens})) AS BIGINT) AS n_distinct_tokens,
+  CAST(len(regexp_extract_all(lower(text), '{T.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+    o["quality_scores"] = f"""
+WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
+r AS (SELECT doc_id,
+  len(toks)::DOUBLE AS n,
+  len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS dr,
+  len(list_filter(toks, x -> list_contains({_STOPWORD_SQL_LIST}, lower(x))))::DOUBLE / len(toks)::DOUBLE AS sr
+FROM t)
+SELECT doc_id,
+  floor(dr * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+  floor(sr * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+  floor((0.4 * least(1.0, n / 50.0) + 0.3 * dr + 0.3 * sr) * 10000.0 + 0.5) / 10000.0 AS quality_score
+FROM r"""
+
+    marker_scores = ",\n  ".join(
+        "CAST(len(list_filter({toks}, x -> list_contains([{words}], x))) AS BIGINT) AS score_{lang}".format(
+            toks="toks", words=", ".join(f"'{w}'" for w in words), lang=lang
+        )
+        for lang, words in T.LANG_MARKERS.items()
+    )
+    predicted_cases = " ".join(
+        f"WHEN score_{lang} = best AND best > 0 THEN '{lang}'" for lang in T.LANG_MARKERS
+    )
+    o["language_id"] = f"""
+WITH t AS (SELECT doc_id, lang AS actual_lang, {tokens_lower} AS toks FROM documents),
+s AS (SELECT doc_id, actual_lang, {marker_scores} FROM t),
+b AS (SELECT *, greatest({", ".join(f"score_{lang}" for lang in T.LANG_MARKERS)}) AS best FROM s)
+SELECT doc_id, actual_lang,
+  CASE {predicted_cases} ELSE 'und' END AS predicted_lang,
+  {", ".join(f"score_{lang}" for lang in T.LANG_MARKERS)}
+FROM b"""
+
+    o["fingerprints"] = """
+SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
+FROM documents"""
+
+    o["exact_dedup"] = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)"""
+
+    o["minhash_signatures"] = f"""
+WITH {_sql_minhash_sig_cte()}
+SELECT * FROM sig"""
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, sig_{2*b} || '|' || sig_{2*b+1} AS bucket FROM sig"
+        for b in range(D.MINHASH_K // D.BAND_SIZE)
+    )
+    o["minhash_candidates"] = f"""
+WITH {_sql_minhash_sig_cte()},
+bands AS ({band_selects})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id"""
+
+    o["ngram_jaccard"] = f"""
+WITH t AS (SELECT doc_id, lang, list_distinct({tokens}) AS grams FROM documents)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+  CAST(len(list_intersect(l.grams, r.grams)) AS BIGINT) AS n_common,
+  CAST(len(list_distinct(list_concat(l.grams, r.grams))) AS BIGINT) AS n_union
+FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
+WHERE 2 * len(list_intersect(l.grams, r.grams)) >= len(list_distinct(list_concat(l.grams, r.grams)))"""
+
+    bit_sums = ",\n  ".join(
+        f"SUM(CASE WHEN strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) >= 9 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    bit_value = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << (D.SIMHASH_BITS - 1 - j)} ELSE 0 END)"
+        for j in range(D.SIMHASH_BITS)
+    )
+    o["simhash_signatures"] = f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({tokens_lower})) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({bit_value} AS INT) AS simhash FROM s"""
+
+    cosine = _SQL_COSINE.format(p="p.embedding", c="c.embedding")
+    o["cosine_topk"] = f"""
+WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS item_id, {cosine} AS cosine
+  FROM probes p JOIN embeddings c ON c.vec_id != p.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, item_id) AS rnk
+  FROM pairs)
+SELECT probe_id, item_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
+
+    o["lsh_signatures"] = f"""
+SELECT vec_id, {_sql_lsh_bucket("embedding")} AS bucket FROM embeddings"""
+
+    o["lsh_ann_topk"] = f"""
+WITH sigs AS (SELECT vec_id, embedding, {_sql_lsh_bucket("embedding")} AS bucket FROM embeddings),
+probes AS (SELECT * FROM sigs WHERE vec_id < 10),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS item_id, {cosine} AS cosine
+  FROM probes p JOIN sigs c ON c.bucket = p.bucket AND c.vec_id != p.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, item_id) AS rnk
+  FROM pairs)
+SELECT probe_id, item_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
+
+    o["media_features"] = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+  'image' AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) % 2147483648 AS BIGINT) AS byte_sum_mod,
+  'stub_decoded' AS status
+FROM documents"""
+
+    o["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 1) AS sum_qty,
+  round(sum(l_extendedprice), 1) AS sum_base_price,
+  round(sum(l_extendedprice * (1.0 - l_discount)), 1) AS sum_disc_price,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+    o["nation_revenue"] = """
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o.o_totalprice), 1) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+    o["events_hourly"] = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2"""
+
+    return o

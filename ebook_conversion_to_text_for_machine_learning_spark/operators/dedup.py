@@ -1,0 +1,193 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shape (the part that matters at 10^12 docs):
+
+- exact: one hash-aggregate on ``md5(text)`` — map-side partial agg, one
+  shuffle over distinct hashes, no data explosion.
+- minhash: signatures are computed per-row with array lambdas (narrow, no
+  explode), candidates come from a band-bucket self-join (shuffle keyed on
+  narrow bucket strings, never on raw text), then exact Jaccard verifies
+  only the candidates.
+- simhash: per-row signature from built-in expressions; near-dup search is
+  a bucket join on signature prefixes.
+- n-gram Jaccard: O(n²) only within a blocking key — usable as the
+  verifier behind minhash candidates, or standalone on small blocks.
+
+Portability constraint: all hashing is md5-hex (identical in Spark and
+DuckDB) so every operator has an exact SQL oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
+    tokens_col,
+)
+
+#: MinHash configuration: k independent permutations approximated by salted
+#: md5; bands of ``BAND_SIZE`` rows → ``K // BAND_SIZE`` LSH bands.
+MINHASH_K = 8
+BAND_SIZE = 2
+
+#: SimHash signature width in bits (one bit per md5 hex nibble, portable).
+SIMHASH_BITS = 16
+
+_HEX = "0123456789abcdef"
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: one keeper (min doc_id) per distinct text hash."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), built with array lambdas — no explode.
+
+    Guarded for short docs: ``sequence(1, 0)`` in Spark would count DOWN,
+    so documents with fewer than ``n`` tokens yield an empty shingle set.
+    """
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
+    """Per-document MinHash signature: sig_i = min(md5(shingle || ':' || i)).
+
+    Lexicographic min over md5 hex strings is a valid uniform min-hash and
+    is bit-identical in any engine with standard md5.
+    """
+    sh = shingles_col(F.col(text_col))
+
+    def _salted_md5(salt: str):
+        # NB: the lambda must be single-arg — a 2-arg lambda would make
+        # F.transform pass the array index as the second argument.
+        return lambda s: F.md5(F.concat(s, F.lit(salt)))
+
+    sigs = [
+        F.array_min(F.transform(sh, _salted_md5(f":{i}"))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return df.select("doc_id", *sigs)
+
+
+def minhash_bands(signatures: DataFrame, k: int = MINHASH_K, band_size: int = BAND_SIZE) -> DataFrame:
+    """Explode signatures into (band_id, bucket) rows for the LSH join."""
+    bands = []
+    for b in range(k // band_size):
+        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+        bands.append(F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *cols).alias("bucket")))
+    return signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_id", "band.bucket")
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct candidate pairs that collide in at least one LSH band."""
+    bands = minhash_bands(minhash_signatures(df, text_col))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    block_col: str = "lang",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Token n-gram Jaccard similarity for pairs within a blocking key."""
+    sh = F.array_distinct(shingles_col(F.col(text_col), n)) if n > 1 else F.array_distinct(
+        tokens_col(F.col(text_col))
+    )
+    base = df.select("doc_id", F.col(block_col).alias("block"), sh.alias("grams"))
+    left = base.alias("l")
+    right = base.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams"))).cast("double")
+    union = F.size(F.array_union(F.col("l.grams"), F.col("r.grams"))).cast("double")
+    jaccard = F.round(inter / union, 4)
+    return (
+        left.join(
+            right,
+            (F.col("l.block") == F.col("r.block")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            jaccard.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over whitespace tokens, fully in built-in expressions.
+
+    Bit j is the sign of sum over distinct tokens of ±1, where +1 iff the
+    j-th hex nibble of md5(token) ≥ 8 (the nibble's top bit). Per-row array
+    lambdas only — no explode, no shuffle; portable to the SQL oracle via
+    the same nibble arithmetic.
+    """
+    toks = F.array_distinct(tokens_col(F.lower(F.col(text_col))))
+    hashes = F.transform(toks, F.md5)
+
+    def bit(j: int) -> Column:
+        votes = F.transform(
+            hashes,
+            lambda h: F.when(
+                F.instr(F.lit(_HEX), F.substring(h, j + 1, 1)) >= 9, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        total = F.aggregate(votes, F.lit(0), lambda acc, v: acc + v)
+        return F.when(total > 0, F.lit(1)).otherwise(F.lit(0))
+
+    bits = [bit(j) for j in range(SIMHASH_BITS)]
+    value = bits[0]
+    for b in bits[1:]:
+        value = value * F.lit(2) + b
+    return df.select("doc_id", value.cast("int").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top byte, verify Hamming.
+
+    The bucket join keeps the self-join from being a cross product; the
+    Hamming check runs only on candidates. ``bit_count(xor)`` is built-in.
+    """
+    sigs = simhash_signatures(df, text_col).withColumn(
+        "bucket", (F.col("simhash") / F.lit(256)).cast("int")
+    )
+    left = sigs.alias("l")
+    right = sigs.alias("r")
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
