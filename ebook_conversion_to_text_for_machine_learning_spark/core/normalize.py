@@ -38,7 +38,11 @@ def fold_smart_punctuation(text: str) -> str:
     """P1: fold smart quotes/dashes/ellipsis/bullet to ASCII.
 
     Reference: text_utilities.py:17-27 (``desmarten_text``).
+    Every mapped character is non-ASCII, so pure-ASCII text (the common
+    case) short-circuits past the translate.
     """
+    if text.isascii():
+        return text
     return text.translate(_SMART_TABLE)
 
 
@@ -47,8 +51,24 @@ def collapse_whitespace_runs(text: str) -> str:
 
     ``(\\s)+`` captures the final repetition, so ``"a \\tb"`` → ``"a\\tb"``.
     Reference: text_utilities.py:60-68 (``remove_whitespace``).
+
+    Fast path: after the strip, ASCII text whose only whitespace is single
+    spaces has no run to collapse (a run needs two consecutive whitespace
+    chars, and the non-space ASCII whitespace chars are all probed below) —
+    the memchr ``in`` probes are ~20× cheaper than the regex scan.
     """
-    return _WS_RUN.sub(r"\1", text.strip())
+    stripped = text.strip()
+    if (
+        stripped.isascii()
+        and "  " not in stripped
+        and "\t" not in stripped
+        and "\n" not in stripped
+        and "\r" not in stripped
+        and "\x0b" not in stripped
+        and "\x0c" not in stripped
+    ):
+        return stripped
+    return _WS_RUN.sub(r"\1", stripped)
 
 
 def dedupe_chapter_breaks(text: str, chapter_break: str = "***\n") -> str:
@@ -56,6 +76,8 @@ def dedupe_chapter_breaks(text: str, chapter_break: str = "***\n") -> str:
 
     Reference: text_utilities.py:30-40 (``clean_chapter_breaks``).
     """
+    if chapter_break not in text:
+        return text
     pattern = "(?:%s)+" % re.escape(chapter_break)
     return re.sub(pattern, chapter_break, text)
 

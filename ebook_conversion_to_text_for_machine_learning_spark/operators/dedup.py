@@ -168,21 +168,36 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on the top byte, verify Hamming.
+    """Near-dup pairs by SimHash with a pigeonhole block join.
 
-    The bucket join keeps the self-join from being a cross product; the
-    Hamming check runs only on candidates. ``bit_count(xor)`` is built-in.
+    The signature is split into ``max_hamming + 1`` disjoint bit blocks; two
+    signatures within Hamming distance ``max_hamming`` must agree on at
+    least one whole block, so the candidate join keys on (block_id, block
+    value) — never a cross product — and ``bit_count(xor)`` verifies the
+    exact distance on candidates only.
     """
-    sigs = simhash_signatures(df, text_col).withColumn(
-        "bucket", (F.col("simhash") / F.lit(256)).cast("int")
-    )
-    left = sigs.alias("l")
-    right = sigs.alias("r")
+    n_blocks = max_hamming + 1
+    width = SIMHASH_BITS // n_blocks
+    sigs = simhash_signatures(df, text_col)
+    blocks = []
+    for b in range(n_blocks):
+        lo = b * width
+        hi = SIMHASH_BITS if b == n_blocks - 1 else lo + width
+        value = F.shiftright(F.col("simhash"), lo) % F.lit(1 << (hi - lo))
+        blocks.append(F.struct(F.lit(b).alias("block_id"), value.alias("block_val")))
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("blk")
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
     hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
     return (
         left.join(
             right,
-            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+            (F.col("l.block_id") == F.col("r.block_id"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(
             F.col("l.doc_id").alias("doc_a"),
@@ -190,4 +205,5 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
             hamming.cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

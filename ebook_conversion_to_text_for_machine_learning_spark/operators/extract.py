@@ -76,49 +76,99 @@ EXTRACTED_SCHEMA = StructType(
 )
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """One Arrow batch of documents in → one batch of extracted spans out."""
-    for batch in batches:
-        doc_ids = batch["doc_id"].to_numpy()
-        fmts = batch["fmt"].to_numpy()
-        titles = batch["title"].to_numpy(dtype=object)
-        authors = batch["author"].to_numpy(dtype=object)
-        spans_col = batch["spans"].to_numpy(dtype=object)
+def _extract_arrow_batches(batches):
+    """One Arrow batch of documents in → one batch of extracted spans out.
 
-        out_spans = []
-        out_counts = []
-        out_media = []
-        out_status = []
-        for spans in spans_col:
-            rows = [(s["kind"], s["text"] or "", s["media_ref"] or "") for s in spans]
-            offsets = [s["offset"] for s in spans]
-            if any(offsets[i] > offsets[i + 1] for i in range(len(offsets) - 1)):
-                order = sorted(range(len(rows)), key=offsets.__getitem__)
-                rows = [rows[i] for i in order]
-            out_spans.append(rows)
-            out_counts.append(0)
-            out_media.append(0)
-            out_status.append("")
-        for i in range(len(out_spans)):
-            title = titles[i] if isinstance(titles[i], str) else None
-            author = authors[i] if isinstance(authors[i], str) else None
-            result, status = extract_document(fmts[i], out_spans[i], title, author)
-            out_spans[i] = [
-                {"kind": k, "text": t, "media_ref": r, "order": o}
-                for k, t, r, o in result
+    Operates on Arrow buffers directly (``mapInArrow``): the nested span
+    structs are unboxed as four flat arrays + list offsets instead of one
+    Python dict per span, and the output list<struct> column is rebuilt the
+    same way — roughly 3× less (de)serialization than the pandas path for
+    this span-heavy schema.
+    """
+    import pyarrow as pa
+
+    out_span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("order", pa.int32()),
             ]
-            out_counts[i] = len(result)
-            out_media[i] = sum(1 for k, _, _, _ in result if k == "media_ref")
-            out_status[i] = status
-        yield pd.DataFrame(
-            {
-                "doc_id": doc_ids,
-                "fmt": fmts,
-                "spans": out_spans,
-                "n_spans": out_counts,
-                "n_media": out_media,
-                "status": out_status,
-            }
+        )
+    )
+
+    for batch in batches:
+        doc_ids = batch.column(0).to_pylist()
+        fmts = batch.column(1).to_pylist()
+        titles = batch.column(2).to_pylist()
+        authors = batch.column(3).to_pylist()
+        spans_col = batch.column(4)
+        # Flatten list<struct>: per-field flat arrays + row offsets.
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        list_offsets = spans_col.offsets.to_pylist()
+        flat = spans_col.flatten()
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        refs = flat.field("media_ref").to_pylist()
+        offs = flat.field("offset").to_pylist()
+
+        out_kinds: list = []
+        out_texts: list = []
+        out_refs: list = []
+        out_orders: list = []
+        out_offsets = [0]
+        n_spans_col = []
+        n_media_col = []
+        status_col = []
+        base = list_offsets[0]
+        for i in range(len(doc_ids)):
+            lo, hi = list_offsets[i] - base, list_offsets[i + 1] - base
+            rows = [
+                (kinds[j], texts[j] or "", refs[j] or "")
+                for j in range(lo, hi)
+            ]
+            doc_offs = offs[lo:hi]
+            if any(doc_offs[j] > doc_offs[j + 1] for j in range(len(doc_offs) - 1)):
+                order = sorted(range(len(rows)), key=doc_offs.__getitem__)
+                rows = [rows[j] for j in order]
+            result, status = extract_document(fmts[i], rows, titles[i], authors[i])
+            n_media = 0
+            for k, t, r, o in result:
+                out_kinds.append(k)
+                out_texts.append(t)
+                out_refs.append(r)
+                out_orders.append(o)
+                if k == "media_ref":
+                    n_media += 1
+            out_offsets.append(len(out_kinds))
+            n_spans_col.append(len(result))
+            n_media_col.append(n_media)
+            status_col.append(status)
+
+        out_spans = pa.ListArray.from_arrays(
+            pa.array(out_offsets, type=pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(out_kinds, type=pa.string()),
+                    pa.array(out_texts, type=pa.string()),
+                    pa.array(out_refs, type=pa.string()),
+                    pa.array(out_orders, type=pa.int32()),
+                ],
+                names=["kind", "text", "media_ref", "order"],
+            ),
+        ).cast(out_span_type)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_ids, type=pa.string()),
+                pa.array(fmts, type=pa.string()),
+                out_spans,
+                pa.array(n_spans_col, type=pa.int32()),
+                pa.array(n_media_col, type=pa.int32()),
+                pa.array(status_col, type=pa.string()),
+            ],
+            names=["doc_id", "fmt", "spans", "n_spans", "n_media", "status"],
         )
 
 
@@ -127,8 +177,13 @@ def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
 
     Breaks source-file clustering/skew (all the giant PDFs in one input
     split) before the Python-map stage; a deliberate full shuffle.
+
+    The partition expression must stay HIGH-cardinality: Spark hash-partitions
+    the expression value, so pre-folding it with ``pmod(..., N)`` would throw
+    N distinct values into N buckets and leave ~1/e of the partitions empty
+    (balls-in-bins) while doubling up others.
     """
-    return df.repartition(num_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(num_partitions)))
+    return df.repartition(num_partitions, F.xxhash64("doc_id"))
 
 
 def extract_spans(
@@ -145,4 +200,4 @@ def extract_spans(
     projected = df.select("doc_id", "fmt", "title", "author", "spans")
     if repartition:
         projected = salted_repartition(projected, repartition)
-    return projected.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+    return projected.mapInArrow(_extract_arrow_batches, schema=EXTRACTED_SCHEMA)

@@ -1,0 +1,64 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Packaging (BASELINE.json north_rule: "ships via spark-submit --py-files"):
+
+    cd <repo> && zip -r /tmp/engine.zip ebook_conversion_to_text_for_machine_learning_spark
+    spark-submit \
+      --master yarn --deploy-mode cluster \
+      --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:1.5.0 \
+      --py-files /tmp/engine.zip \
+      --conf spark.sql.adaptive.enabled=true \
+      --conf spark.sql.execution.arrow.maxRecordsPerBatch=512 \
+      ebook_conversion_to_text_for_machine_learning_spark/plans/job.py \
+      --input  <parquet dir or iceberg table> \
+      --output <parquet dir or iceberg table> \
+      --lineage <lineage path> --metrics <metrics path> \
+      --repartition 4096
+
+At 10^12 documents pick ``--repartition`` ≈ 2-3 × total executor cores so
+one wave of Python tasks covers the cluster; Arrow batch size then bounds
+per-worker memory (session.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from ebook_conversion_to_text_for_machine_learning_spark.plans.pipeline import (
+    run_extraction_job,
+)
+from ebook_conversion_to_text_for_machine_learning_spark.session import build_session
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description="ebook spans extraction job")
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--lineage", default=None)
+    parser.add_argument("--metrics", default=None)
+    parser.add_argument("--repartition", type=int, default=None)
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args(argv)
+
+    spark = build_session(app_name="ebook-extraction", master=args.master)
+    try:
+        if args.input.count("/") == 0 or args.input.count(".") >= 2:
+            input_df = spark.read.table(args.input)  # Iceberg / catalog table
+        else:
+            input_df = spark.read.parquet(args.input)
+        summary = run_extraction_job(
+            spark,
+            input_df,
+            args.output,
+            lineage_path=args.lineage,
+            metrics_path=args.metrics,
+            repartition=args.repartition,
+        )
+        print(json.dumps(summary, default=str))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -339,76 +339,82 @@ _BOILER_WORDS = ["Introduction", "Copyright", "Contents", "Dedication", "Preface
 
 def random_corpus(n_docs: int, seed: int = 42) -> List[dict]:
     """Deterministic interleaved corpus with skewed span counts."""
-    rng = random.Random(seed)
-    docs = []
-    for d in range(n_docs):
-        fmt = rng.choices(["epub", "docx", "pdf", "txt"], weights=[35, 25, 25, 15])[0]
-        n_spans = max(6, int(rng.lognormvariate(3.7, 0.7)))
-        if rng.random() < 0.005:
-            n_spans = rng.randint(2000, 5000)  # giant-PDF tail
-        heading = _HEADING_STYLES[rng.randrange(len(_HEADING_STYLES))]
-        rows: List[Tuple[str, str, str]] = []
+    return [make_doc(d, seed) for d in range(n_docs)]
 
-        def sentence(i: int) -> str:
-            base = f"Body sentence number {i} rolls along with plain words and ends cleanly."
-            return _SMART_SENTENCE if rng.random() < 0.1 else base
 
-        chapter_no = 1
-        if fmt == "txt":
-            rows.append(("line", TITLE, ""))
-            for i in range(n_spans):
-                if rng.random() < 0.06:
-                    rows.append(("line", heading(chapter_no), ""))
-                    chapter_no += 1
-                else:
-                    rows.append(("line", sentence(i), ""))
-        elif fmt == "epub":
-            rows.append(("section", "Text/titlepage.xhtml", ""))
-            rows.append(("p", TITLE, ""))
-            rows.append(("section", "Text/toc.xhtml", ""))
-            rows.append(("p", rng.choice(_BOILER_WORDS), ""))
-            per_section = max(3, n_spans // 6)
-            for s in range(max(1, n_spans // per_section)):
-                rows.append(("section", f"Text/Section{s:04d}.xhtml", ""))
-                rows.append(("h1", heading(chapter_no), ""))
+def make_doc(d: int, seed: int = 42) -> dict:
+    """One deterministic synthetic document, independent per index.
+
+    Seeded per ``(seed, d)`` so corpus generation parallelizes across Spark
+    partitions with no sequential RNG state.
+    """
+    rng = random.Random(f"{seed}:{d}")
+    fmt = rng.choices(["epub", "docx", "pdf", "txt"], weights=[35, 25, 25, 15])[0]
+    n_spans = max(6, int(rng.lognormvariate(3.7, 0.7)))
+    if rng.random() < 0.005:
+        n_spans = rng.randint(2000, 5000)  # giant-PDF tail
+    heading = _HEADING_STYLES[rng.randrange(len(_HEADING_STYLES))]
+    rows: List[Tuple[str, str, str]] = []
+
+    def sentence(i: int) -> str:
+        base = f"Body sentence number {i} rolls along with plain words and ends cleanly."
+        return _SMART_SENTENCE if rng.random() < 0.1 else base
+
+    chapter_no = 1
+    if fmt == "txt":
+        rows.append(("line", TITLE, ""))
+        for i in range(n_spans):
+            if rng.random() < 0.06:
+                rows.append(("line", heading(chapter_no), ""))
                 chapter_no += 1
-                for i in range(per_section):
-                    if rng.random() < 0.05:
-                        rows.append(("img", "", f"img{d}_{s}_{i}"))
-                    else:
-                        rows.append(("p", sentence(i), ""))
-        elif fmt == "docx":
-            rows.append(("para", TITLE, ""))
-            rows.append(("para", AUTHOR, ""))
-            per_page = max(2, n_spans // 8)
-            for p in range(max(1, n_spans // per_page)):
-                rows.append(("page_break", "", ""))
-                if rng.random() < 0.7:
-                    rows.append(("para", heading(chapter_no), ""))
-                    chapter_no += 1
-                elif rng.random() < 0.5:
-                    rows.append(("para", rng.choice(_BOILER_WORDS), ""))
-                for i in range(per_page):
-                    if rng.random() < 0.03:
-                        rows.append(("img", "Chapter " + str(chapter_no), f"rId{d}_{p}_{i}"))
-                    else:
-                        rows.append(("para", sentence(i), ""))
-        else:  # pdf — may exceed 25 pages to pin the cap
-            n_pages = max(2, n_spans // 10)
-            for p in range(n_pages):
-                if p:
-                    rows.append(("page_break", "", ""))
-                if p == 0:
-                    rows.append(("line", f"{TITLE} \n", ""))
-                    rows.append(("line", " \n", ""))
-                    continue
-                if rng.random() < 0.6:
-                    rows.append(("line", f"{heading(chapter_no)} \n", ""))
-                    chapter_no += 1
+            else:
+                rows.append(("line", sentence(i), ""))
+    elif fmt == "epub":
+        rows.append(("section", "Text/titlepage.xhtml", ""))
+        rows.append(("p", TITLE, ""))
+        rows.append(("section", "Text/toc.xhtml", ""))
+        rows.append(("p", rng.choice(_BOILER_WORDS), ""))
+        per_section = max(3, n_spans // 6)
+        for s in range(max(1, n_spans // per_section)):
+            rows.append(("section", f"Text/Section{s:04d}.xhtml", ""))
+            rows.append(("h1", heading(chapter_no), ""))
+            chapter_no += 1
+            for i in range(per_section):
                 if rng.random() < 0.05:
-                    rows.append(("img", "Chapter " + str(chapter_no), str(100 + p)))
-                for i in range(9):
-                    tail = ". \n" if rng.random() < 0.6 else " \n"
-                    rows.append(("line", f"pdf body words {p} {i}{tail}", ""))
-        docs.append(_doc(f"{fmt}-r{d:06d}", fmt, _spans(rows)))
-    return docs
+                    rows.append(("img", "", f"img{d}_{s}_{i}"))
+                else:
+                    rows.append(("p", sentence(i), ""))
+    elif fmt == "docx":
+        rows.append(("para", TITLE, ""))
+        rows.append(("para", AUTHOR, ""))
+        per_page = max(2, n_spans // 8)
+        for p in range(max(1, n_spans // per_page)):
+            rows.append(("page_break", "", ""))
+            if rng.random() < 0.7:
+                rows.append(("para", heading(chapter_no), ""))
+                chapter_no += 1
+            elif rng.random() < 0.5:
+                rows.append(("para", rng.choice(_BOILER_WORDS), ""))
+            for i in range(per_page):
+                if rng.random() < 0.03:
+                    rows.append(("img", "Chapter " + str(chapter_no), f"rId{d}_{p}_{i}"))
+                else:
+                    rows.append(("para", sentence(i), ""))
+    else:  # pdf — may exceed 25 pages to pin the cap
+        n_pages = max(2, n_spans // 10)
+        for p in range(n_pages):
+            if p:
+                rows.append(("page_break", "", ""))
+            if p == 0:
+                rows.append(("line", f"{TITLE} \n", ""))
+                rows.append(("line", " \n", ""))
+                continue
+            if rng.random() < 0.6:
+                rows.append(("line", f"{heading(chapter_no)} \n", ""))
+                chapter_no += 1
+            if rng.random() < 0.05:
+                rows.append(("img", "Chapter " + str(chapter_no), str(100 + p)))
+            for i in range(9):
+                tail = ". \n" if rng.random() < 0.6 else " \n"
+                rows.append(("line", f"pdf body words {p} {i}{tail}", ""))
+    return _doc(f"{fmt}-r{d:06d}", fmt, _spans(rows))

@@ -1,0 +1,113 @@
+"""Behavioral tests for the training-data operators (beyond oracle parity):
+do the dedup/similarity operators actually find what they claim to find?"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the miller waits "
+    "for the grain to arrive at the old stone bridge before sunset"
+)
+
+
+def test_exact_dedup_groups_copies(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    df = _docs_df(
+        spark,
+        [(1, "en", BASE), (2, "en", BASE), (3, "en", "something else entirely here")],
+    )
+    rows = {r.keeper_doc_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_duplicates(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    near = BASE.replace("lazy", "sleepy")  # one token changed
+    far = "completely different words compose this other document about ships at sea"
+    df = _docs_df(spark, [(1, "en", BASE), (2, "en", near), (3, "en", far)])
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_pairs(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    near = BASE.replace("lazy", "sleepy")
+    df = _docs_df(spark, [(1, "en", BASE), (2, "en", near)])
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    assert 0 <= sigs[1] < 2**16
+    pairs = simhash_near_pairs(df, max_hamming=4).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+
+
+def test_ngram_jaccard_threshold(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    near = BASE + " extra"
+    df = _docs_df(spark, [(1, "en", BASE), (2, "en", near), (3, "fr", BASE)])
+    pairs = ngram_jaccard_pairs(df, threshold=0.8).collect()
+    # doc 3 shares text but is in another blocking key (lang).
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.9
+
+
+def test_cosine_topk_identical_vector_ranks_first(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),     # identical to probe
+        (2, [0.9, 0.1, 0.0, 0.0]),     # close
+        (3, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    probes = df.where(F.col("vec_id") == 0)
+    top = cosine_topk(df, probes, k=3)
+    ranked = [(r.item_id, r.cosine) for r in top.orderBy("rank").collect()]
+    assert ranked[0] == (1, 1.0)
+    assert ranked[1][0] == 2
+    assert ranked[-1] == (3, -1.0)
+
+    ann = lsh_ann_topk(df, probes, 4, k=3).orderBy("rank").collect()
+    # LSH keeps same-bucket items; the identical vector must survive.
+    assert ann[0].item_id == 1 and ann[0].cosine == 1.0
+    # the opposite vector lands in a different bucket and is pruned
+    assert all(r.item_id != 3 for r in ann)
+
+
+def test_media_stub_and_error_path(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.media import (
+        attach_payloads,
+        extract_media_features,
+    )
+
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    payloads = attach_payloads(df, "doc_id", "text", "image")
+    rows = {r.media_id: r for r in extract_media_features(payloads).collect()}
+    assert rows["1"].n_bytes == 3
+    assert rows["1"].first_byte == ord("a")
+    assert rows["1"].byte_sum_mod == ord("a") + ord("b") + ord("c")
+    assert rows["2"].n_bytes == 0 and rows["2"].first_byte is None
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_media_features(payloads, decode_stub=False).collect()

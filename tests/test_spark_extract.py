@@ -112,5 +112,8 @@ def test_arrow_eval_plan_no_rowwise_python(spark):
     plan = extract_spans(
         documents_as_txt_spans(spark, "/root/testdata/sf0.001")
     )._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan or "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+    # Column pruning must reach the parquet scan: only the adapter's two
+    # source columns are read, not the whole documents table.
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan

@@ -1,0 +1,39 @@
+"""Streaming extraction: availableNow drain over landed parquet files."""
+
+from tests import fixtures as fx
+from tests.conftest import spans_df
+
+
+def test_stream_extraction_drains_input(spark, tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.streaming.stream import (
+        stream_extraction,
+    )
+
+    docs = [doc for doc, _ in fx.GOLDEN_DOCS]
+    in_dir = str(tmp_path / "in")
+    spans_df(spark, docs).write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    query = stream_extraction(
+        spark,
+        in_dir,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    query.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == len(docs)
+    by_id = {r.doc_id: r for r in out.collect()}
+    expected = {d["doc_id"]: exp for d, exp in fx.GOLDEN_DOCS}
+    for doc_id, exp in expected.items():
+        got = [(s.kind, s.text, s.media_ref, s.order) for s in by_id[doc_id].spans]
+        assert got == exp, doc_id
+
+    # Restarting with the same checkpoint must not reprocess anything.
+    query2 = stream_extraction(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt"), available_now=True
+    )
+    query2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(docs)
