@@ -323,14 +323,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ngram_jaccard(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
+        grams = F.array_distinct(T.tokens_col(F.col("text")))
         base = docs.select(
             "doc_id",
             F.col("lang").alias("block"),
-            F.array_distinct(T.tokens_col(F.col("text"))).alias("grams"),
+            grams.alias("grams"),
+            F.size(grams).alias("n_grams"),
         )
         left, right = base.alias("l"), base.alias("r")
         n_common = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams"))).cast("long")
-        n_union = F.size(F.array_union(F.col("l.grams"), F.col("r.grams"))).cast("long")
+        # |A∪B| = |A|+|B|-|A∩B| — avoids materializing the union array.
+        n_union = (F.col("l.n_grams") + F.col("r.n_grams")).cast("long") - n_common
         return (
             left.join(
                 right,

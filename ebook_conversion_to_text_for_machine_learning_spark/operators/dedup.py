@@ -65,18 +65,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = MINHASH_K
     Lexicographic min over md5 hex strings is a valid uniform min-hash and
     is bit-identical in any engine with standard md5.
     """
-    sh = shingles_col(F.col(text_col))
-
-    def _salted_md5(salt: str):
-        # NB: the lambda must be single-arg — a 2-arg lambda would make
-        # F.transform pass the array index as the second argument.
-        return lambda s: F.md5(F.concat(s, F.lit(salt)))
-
-    sigs = [
-        F.array_min(F.transform(sh, _salted_md5(f":{i}"))).alias(f"sig_{i}")
+    # Explode shingles once, then k parallel min-aggregates: building the
+    # shingle array inside k separate array_min expressions would rebuild
+    # it k times per row (Catalyst inlines collapsed projections), which
+    # dominated the benchmark. The groupBy gets map-side partial min()s, so
+    # the shuffle carries only k hex strings per document.
+    exploded = df.select("doc_id", F.explode(shingles_col(F.col(text_col))).alias("g"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("g"), F.lit(f":{i}")))).alias(f"sig_{i}")
         for i in range(k)
     ]
-    return df.select("doc_id", *sigs)
+    sigs = exploded.groupBy("doc_id").agg(*aggs)
+    # Documents with no shingles (fewer than n tokens) vanish in the
+    # explode; restore them with null signatures.
+    return df.select("doc_id").join(sigs, "doc_id", "left")
 
 
 def minhash_bands(signatures: DataFrame, k: int = MINHASH_K, band_size: int = BAND_SIZE) -> DataFrame:
@@ -119,11 +121,18 @@ def ngram_jaccard_pairs(
     sh = F.array_distinct(shingles_col(F.col(text_col), n)) if n > 1 else F.array_distinct(
         tokens_col(F.col(text_col))
     )
-    base = df.select("doc_id", F.col(block_col).alias("block"), sh.alias("grams"))
+    base = df.select(
+        "doc_id",
+        F.col(block_col).alias("block"),
+        sh.alias("grams"),
+        F.size(sh).alias("n_grams"),
+    )
     left = base.alias("l")
     right = base.alias("r")
+    # |A∪B| = |A| + |B| - |A∩B| with per-doc sizes precomputed — one array
+    # pass per pair instead of two (array_union materializes a new array).
     inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams"))).cast("double")
-    union = F.size(F.array_union(F.col("l.grams"), F.col("r.grams"))).cast("double")
+    union = (F.col("l.n_grams") + F.col("r.n_grams")).cast("double") - inter
     jaccard = F.round(inter / union, 4)
     return (
         left.join(
