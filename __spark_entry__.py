@@ -418,6 +418,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nation_revenue"] = nation_revenue
 
+    def top_events_per_user(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        events = read_table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+        return (
+            events.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("user_id", "event_id", "event_type", "value", F.col("rank").cast("int").alias("rank"))
+        )
+
+    q["top_events_per_user"] = top_events_per_user
+
+    def sessionization(spark, sf_dir):
+        from pyspark.sql.window import Window
+
+        events = read_table(spark, sf_dir, "events")
+        e = events.select("user_id", "event_id", F.unix_timestamp(F.col("ts")).alias("tsec"))
+        w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+        gap = F.col("tsec") - F.lag("tsec").over(w)
+        flagged = e.withColumn(
+            "is_new", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+        )
+        running = Window.partitionBy("user_id").orderBy("tsec", "event_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        sessions = flagged.withColumn("session_idx", F.sum("is_new").over(running))
+        return sessions.groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx")).agg(
+            F.count("*").alias("n_events"),
+            F.min("tsec").alias("first_ts"),
+        )
+
+    q["sessionization"] = sessionization
+
+    def asof_latest_order(spark, sf_dir):
+        events = read_table(spark, sf_dir, "events")
+        orders = read_table(spark, sf_dir, "orders")
+        ev = events.select("event_id", "user_id", F.unix_timestamp(F.col("ts")).alias("tsec"))
+        od = orders.select("o_custkey", F.unix_timestamp(F.col("o_orderdate")).alias("otsec"))
+        joined = ev.join(
+            F.broadcast(od),
+            (F.col("o_custkey") == F.col("user_id")) & (F.col("otsec") <= F.col("tsec")),
+        )
+        return joined.groupBy("event_id", "user_id").agg(
+            F.max("otsec").alias("latest_order_ts"),
+            F.count("*").alias("n_prior_orders"),
+        )
+
+    q["asof_latest_order"] = asof_latest_order
+
+    def pivot_event_counts(spark, sf_dir):
+        events = read_table(spark, sf_dir, "events")
+        counts = [
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in ("click", "view", "purchase", "signup", "error")
+        ]
+        return events.groupBy("user_id").agg(*counts, F.count("*").alias("n_total"))
+
+    q["pivot_event_counts"] = pivot_event_counts
+
     def events_hourly(spark, sf_dir):
         events = read_table(spark, sf_dir, "events")
         return (
@@ -629,6 +689,43 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name"""
+
+    o["top_events_per_user"] = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+  FROM events)
+SELECT user_id, event_id, event_type, value, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 3"""
+
+    o["sessionization"] = """
+WITH e AS (SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS tsec FROM events),
+l AS (SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev FROM e),
+s AS (SELECT *, CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS is_new FROM l),
+c AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM s)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events, MIN(tsec) AS first_ts
+FROM c GROUP BY user_id, session_idx"""
+
+    o["asof_latest_order"] = """
+WITH e AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS tsec FROM events),
+o AS (SELECT o_custkey, epoch(o_orderdate)::BIGINT AS otsec FROM orders)
+SELECT e.event_id, e.user_id,
+       MAX(o.otsec) AS latest_order_ts,
+       CAST(count(*) AS BIGINT) AS n_prior_orders
+FROM e JOIN o ON o.o_custkey = e.user_id AND o.otsec <= e.tsec
+GROUP BY e.event_id, e.user_id"""
+
+    o["pivot_event_counts"] = """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY user_id"""
 
     o["events_hourly"] = """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
