@@ -101,6 +101,73 @@ def test_docx_sticky_latch_across_pages():
     assert "".join(t for _, t, _, _ in out) == "\nfinally visible."
 
 
+def test_epub_blank_and_whitespace_elements():
+    """Mirrors test_epub_conversion.py:117-138: blank/whitespace elements
+    consume detection-window slots without triggering or dropping."""
+    doc = fx._doc(
+        "epub-blank",
+        "epub",
+        fx._spans(
+            [
+                ("section", "Text/c1.xhtml", ""),
+                ("p", "", ""),
+                ("p", "   ", ""),
+                ("p", "Chapter 1", ""),
+                ("p", "Body text after blanks.", ""),
+            ]
+        ),
+    )
+    out = _run(doc)
+    assert out == [("text", "Body text after blanks.", "", 0)]
+
+    # Trigger beyond the 6-element window → section dropped.
+    doc2 = fx._doc(
+        "epub-late-heading",
+        "epub",
+        fx._spans(
+            [("section", "Text/c1.xhtml", "")]
+            + [("p", f"filler paragraph {i}.", "") for i in range(6)]
+            + [("p", "Chapter 1", ""), ("p", "Too late.", "")]
+        ),
+    )
+    assert _run(doc2) == []
+
+
+def test_epub_whitespace_body_contributes_blank_line():
+    doc = fx._doc(
+        "epub-ws-body",
+        "epub",
+        fx._spans(
+            [
+                ("section", "Text/c1.xhtml", ""),
+                ("h1", "Chapter 5", ""),
+                ("p", "First.", ""),
+                ("p", "  ", ""),
+                ("p", "Last.", ""),
+            ]
+        ),
+    )
+    out = _run(doc)
+    assert out == [("text", "First.\n\nLast.", "", 0)]
+
+
+def test_pdf_multiline_element_splice():
+    """A single pdfminer text element may embed newlines; the machine
+    splices it in place and reprocesses (pdf_converter.py:118-120)."""
+    doc = fx._pdf_doc(
+        "pdf-splice",
+        [
+            [
+                ("line", "Chapter 1 \nFirst split line. \nSecond split line. \n", ""),
+            ]
+        ],
+    )
+    out = _run(doc)
+    assert "".join(t for _, t, _, _ in out) == (
+        "First split line.\nSecond split line.\n"
+    )
+
+
 def test_randomized_corpus_runs_clean():
     """Every randomized doc extracts with status ok and valid span orders."""
     for doc in fx.random_corpus(200, seed=42):

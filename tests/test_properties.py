@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the span assembler and parsers.
+
+The assembler invariant is testable independently of the folds: for ANY
+atom stream, concatenating the produced span texts must equal the naive
+string the reference sinks build (join + char-class lstrip), and the first
+string span must never be a chapter_break.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ebook_conversion_to_text_for_machine_learning_spark.core.chapter import (
+    parse_roman,
+    parse_spelled_number,
+)
+from ebook_conversion_to_text_for_machine_learning_spark.core.spans import (
+    assemble_output_spans,
+)
+
+_FORMAT_PARAMS = [
+    {"joiner": "\n", "break_text": "***", "lstrip_chars": "*"},      # txt/docx
+    {"joiner": "", "break_text": "***\n", "lstrip_chars": "*\n"},    # pdf
+]
+
+_text_atom = st.text(
+    alphabet=st.sampled_from("ab*\n ."), min_size=1, max_size=6
+).filter(lambda s: s.strip())
+
+_atoms = st.lists(
+    st.one_of(
+        st.tuples(st.just("T"), _text_atom),
+        st.tuples(st.just("B"), st.none()),
+        st.tuples(st.just("M"), st.sampled_from(["r1", "r2"])),
+    ),
+    max_size=12,
+)
+
+
+def _naive_string(atoms, joiner, break_text, lstrip_chars):
+    parts = [break_text if k == "B" else t for k, t in atoms if k != "M"]
+    return joiner.join(parts).lstrip(lstrip_chars)
+
+
+@settings(max_examples=500, deadline=None)
+@given(atoms=_atoms, params=st.sampled_from(_FORMAT_PARAMS))
+def test_assembler_concat_invariant(atoms, params):
+    spans = assemble_output_spans(atoms, **params)
+    concat = "".join(t for _, t, _, _ in spans)
+    assert concat == _naive_string(atoms, **params)
+    # orders are dense and media markers are zero-width
+    assert [o for _, _, _, o in spans] == list(range(len(spans)))
+    assert all(t == "" for k, t, _, _ in spans if k == "media_ref")
+    # media refs survive in order
+    assert [r for k, _, r, _ in spans if k == "media_ref"] == [
+        p for k, p in atoms if k == "M"
+    ]
+    # the first string span is never a chapter_break (invariant 3)
+    string_spans = [k for k, _, _, _ in spans if k != "media_ref"]
+    if string_spans:
+        assert string_spans[0] != "chapter_break"
+
+
+def _canonical_roman(n: int) -> str:
+    out = []
+    for value, sym in (
+        (1000, "M"), (900, "CM"), (500, "D"), (400, "CD"), (100, "C"),
+        (90, "XC"), (50, "L"), (40, "XL"), (10, "X"), (9, "IX"),
+        (5, "V"), (4, "IV"), (1, "I"),
+    ):
+        while n >= value:
+            out.append(sym)
+            n -= value
+    return "".join(out)
+
+
+@settings(max_examples=300, deadline=None)
+@given(n=st.integers(min_value=1, max_value=3999))
+def test_roman_roundtrip_canonical(n):
+    assert parse_roman(_canonical_roman(n)) == n
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    tens=st.sampled_from("twenty thirty forty fifty sixty seventy eighty ninety".split()),
+    ones=st.sampled_from("one two three four five six seven eight nine".split()),
+)
+def test_spelled_compound_roundtrip(tens, ones):
+    values = {
+        "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50,
+        "sixty": 60, "seventy": 70, "eighty": 80, "ninety": 90,
+        "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+        "six": 6, "seven": 7, "eight": 8, "nine": 9,
+    }
+    assert parse_spelled_number(f"{tens}-{ones}") == values[tens] + values[ones]
+    assert parse_spelled_number(f"{tens} {ones}") == values[tens] + values[ones]
