@@ -48,6 +48,30 @@ def test_salted_repartition_matches_narrow_plan(spark):
     assert len(narrow) == 60
 
 
+def test_salted_repartition_balances_clustered_input(spark):
+    """A pathologically clustered input (every doc in one partition) must
+    spread ~uniformly after the salted repartition."""
+    from pyspark.sql import functions as F
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        salted_repartition,
+    )
+
+    docs = fx.random_corpus(400, seed=11)
+    clustered = spans_df(spark, docs).coalesce(1)
+    assert clustered.rdd.getNumPartitions() == 1
+    sizes = (
+        salted_repartition(clustered, 8)
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == 8  # no empty partitions (the pmod trap would leave ~1/e empty)
+    assert max(counts) <= 2.5 * (400 / 8)
+
+
 def test_pipeline_with_lineage_and_resume(spark, tmp_path):
     from ebook_conversion_to_text_for_machine_learning_spark.plans.pipeline import (
         run_extraction_job,

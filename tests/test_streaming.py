@@ -4,6 +4,33 @@ from tests import fixtures as fx
 from tests.conftest import spans_df
 
 
+def test_windowed_event_counts_match_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ebook_conversion_to_text_for_machine_learning_spark.streaming.windowed import (
+        start_memory_sink,
+        windowed_event_counts,
+    )
+
+    # The streaming file source needs a directory, not a single file.
+    path = str(tmp_path / "events_dir")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    query = start_memory_sink(windowed_event_counts(stream), "win_counts")
+    try:
+        query.processAllAvailable()
+        streamed = spark.sql(
+            "SELECT event_type, sum(n_events) AS n FROM win_counts GROUP BY event_type"
+        ).collect()
+    finally:
+        query.stop()
+    batch = (
+        spark.read.parquet(path).groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    )
+    assert {(r.event_type, r.n) for r in streamed} == {(r.event_type, r.n) for r in batch}
+
+
 def test_stream_extraction_drains_input(spark, tmp_path):
     from ebook_conversion_to_text_for_machine_learning_spark.streaming.stream import (
         stream_extraction,
