@@ -1,0 +1,250 @@
+"""Real ebook files → input span rows (the reference's ingest surface).
+
+A user of the reference library hands it EPUB/DOCX/PDF/TXT *files*
+(convert_file.py:49-80); this module is the migration path: it parses those
+files into the engine's span contract using ONLY the stdlib for the zip+XML
+formats — EPUB is a zip of XHTML (zipfile + html.parser replaces
+ebooklib/bs4), DOCX is a zip of WordprocessingML (zipfile + xml.etree
+replaces python-docx). PDF layout extraction genuinely needs pdfminer and
+is gated behind an import-try (available in production, stubbed here).
+
+OCR is not performed at ingest (north_star: a 10^12-doc job cannot call an
+LLM per image): image spans carry an empty transcript unless the caller
+supplies one, exactly matching the reference's OCR-failure path
+(ocr.py:113-115 returns "").
+
+At scale this runs distributed: ``spark.read.format("binaryFile")`` →
+``mapInPandas`` calling these per-file parsers; driver-side helpers below
+cover the CLI/compat path.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import zipfile
+from html.parser import HTMLParser
+from pathlib import Path
+from typing import List, Optional, Tuple
+from xml.etree import ElementTree
+
+InSpan = Tuple[str, str, str, int]  # (kind, text, media_ref, offset)
+
+_EPUB_ELEMENT_KINDS = frozenset({"p", "img", "h1", "h2", "h3", "h4", "h5", "h6"})
+_CONTAINER_NS = {"c": "urn:oasis:names:tc:opendocument:xmlns:container"}
+_OPF_NS = {"opf": "http://www.idpf.org/2007/opf"}
+_W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_R_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+#: Media types ebooklib treats as ITEM_DOCUMENT (epub_converter.py:118).
+_DOCUMENT_MEDIA_TYPES = frozenset(
+    {"application/xhtml+xml", "application/x-dtbook+xml", "text/html"}
+)
+
+
+class _ElementCollector(HTMLParser):
+    """Collects p/img/h1-h6 elements in document order with bs4-equivalent
+    ``get_text()`` semantics (all descendant character data, markup
+    whitespace included)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.elements: List[Tuple[str, str, str]] = []  # (kind, text, media_ref)
+        self._open: List[Tuple[str, int, str]] = []  # (kind, element index, src)
+        self._texts: List[List[str]] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag not in _EPUB_ELEMENT_KINDS:
+            return
+        if tag == "img":
+            src = dict(attrs).get("src", "") or ""
+            self.elements.append(("img", "", src))
+            return
+        self.elements.append((tag, "", ""))
+        self._open.append((tag, len(self.elements) - 1, ""))
+        self._texts.append([])
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "img":
+            src = dict(attrs).get("src", "") or ""
+            self.elements.append(("img", "", src))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self._open) - 1, -1, -1):
+            if self._open[i][0] == tag:
+                kind, idx, src = self._open.pop(i)
+                text = "".join(self._texts.pop(i))
+                self.elements[idx] = (kind, text, src)
+                break
+
+    def handle_data(self, data):
+        for bucket in self._texts:
+            bucket.append(data)
+
+
+def epub_file_to_spans(path: str | Path) -> List[InSpan]:
+    """EPUB → spans: one ``section`` marker per manifest document item
+    (reference iterates ``book.get_items()``, epub_converter.py:67-73),
+    followed by its p/img/h1-h6 element spans."""
+    spans: List[InSpan] = []
+    offset = 0
+    with zipfile.ZipFile(path) as zf:
+        container = ElementTree.fromstring(zf.read("META-INF/container.xml"))
+        rootfile = container.find(".//c:rootfile", _CONTAINER_NS).get("full-path")
+        opf_dir = posixpath.dirname(rootfile)
+        opf = ElementTree.fromstring(zf.read(rootfile))
+        for item in opf.find("opf:manifest", _OPF_NS):
+            if item.get("media-type") not in _DOCUMENT_MEDIA_TYPES:
+                continue
+            href = item.get("href")
+            archive_path = posixpath.join(opf_dir, href) if opf_dir else href
+            spans.append(("section", href, "", offset))
+            offset += 1
+            collector = _ElementCollector()
+            collector.feed(zf.read(archive_path).decode("utf-8", errors="replace"))
+            for kind, text, src in collector.elements:
+                spans.append((kind, text, src, offset))
+                offset += 1
+    return spans
+
+
+def docx_file_to_spans(path: str | Path) -> List[InSpan]:
+    """DOCX → spans: ``para``/``img`` per paragraph, with a ``page_break``
+    marker before paragraphs carrying ``w:pPr/w:pageBreakBefore``
+    (docx_converter.py:154-166). A paragraph containing an ``a:blip``
+    becomes an ``img`` span whose media_ref is the relationship id and whose
+    text is the paragraph text (the OCR-wins rule with no OCR available,
+    docx_text_extractor.py:25-27)."""
+    spans: List[InSpan] = []
+    offset = 0
+    with zipfile.ZipFile(path) as zf:
+        document = ElementTree.fromstring(zf.read("word/document.xml"))
+    body = document.find(f"{{{_W_NS}}}body")
+    if body is None:
+        return spans
+    for para in body.iter(f"{{{_W_NS}}}p"):
+        ppr = para.find(f"{{{_W_NS}}}pPr")
+        if ppr is not None and ppr.find(f"{{{_W_NS}}}pageBreakBefore") is not None:
+            spans.append(("page_break", "", "", offset))
+            offset += 1
+        text = "".join(t.text or "" for t in para.iter(f"{{{_W_NS}}}t"))
+        blip = para.find(f".//{{{_A_NS}}}blip")
+        if blip is not None:
+            rid = blip.get(f"{{{_R_NS}}}embed", "") or ""
+            spans.append(("img", text.strip(), rid, offset))
+        else:
+            spans.append(("para", text, "", offset))
+        offset += 1
+    return spans
+
+
+def txt_file_to_spans(path: str | Path) -> List[InSpan]:
+    """TXT → one ``line`` span per line (text_parser.py:15-21)."""
+    content = Path(path).read_text(encoding="utf-8")
+    return [("line", line, "", i) for i, line in enumerate(content.splitlines())]
+
+
+def pdf_file_to_spans(path: str | Path) -> List[InSpan]:
+    """PDF → spans via pdfminer (not installed in this sandbox).
+
+    Mirrors the reference's element sweep (pdf_text_extractor.py:102-129):
+    objects with a ``stream`` are images (objid as media_ref), LTText
+    non-LTChar elements are lines, containers recurse into their FIRST
+    child only (the reference's early-return quirk)."""
+    try:
+        from pdfminer.high_level import extract_pages
+        from pdfminer.layout import LTChar, LTContainer, LTText
+    except ImportError as exc:  # pragma: no cover - sandbox has no pdfminer
+        raise NotImplementedError(
+            "PDF ingestion requires pdfminer.six (available in production; "
+            "not installed in this sandbox). EPUB/DOCX/TXT ingest is stdlib-only."
+        ) from exc
+
+    def classify(element):  # pragma: no cover - exercised only with pdfminer
+        if hasattr(element, "stream"):
+            return "img", "", str(element.stream.objid)
+        if isinstance(element, LTText) and not isinstance(element, LTChar):
+            return "line", element.get_text(), ""
+        if isinstance(element, LTContainer):
+            for child in element:
+                return classify(child)
+        return None
+
+    spans: List[InSpan] = []  # pragma: no cover
+    offset = 0
+    for page_index, page in enumerate(extract_pages(str(path), maxpages=25)):
+        if page_index:
+            spans.append(("page_break", "", "", offset))
+            offset += 1
+        for element in page:
+            row = classify(element)
+            if row is not None:
+                spans.append((row[0], row[1], row[2], offset))
+                offset += 1
+    return spans
+
+
+_SUFFIX_DISPATCH = {
+    ".epub": ("epub", epub_file_to_spans),
+    ".docx": ("docx", docx_file_to_spans),
+    ".pdf": ("pdf", pdf_file_to_spans),
+    ".txt": ("txt", txt_file_to_spans),
+    ".text": ("txt", txt_file_to_spans),
+}
+
+
+def file_to_spans(path: str | Path) -> Tuple[str, List[InSpan]]:
+    """Suffix dispatch (convert_file.py:28-36); unknown suffix raises."""
+    suffix = Path(path).suffix.lower()
+    if suffix not in _SUFFIX_DISPATCH:
+        raise ValueError(f"Unsupported file type: {suffix}")
+    fmt, parser = _SUFFIX_DISPATCH[suffix]
+    return fmt, parser(path)
+
+
+def convert_file_to_text(
+    path: str | Path,
+    metadata: Optional[dict] = None,
+) -> str:
+    """Drop-in equivalent of the reference's string-mode ``convert_file``:
+    file in, extracted text out (chapter breaks as ``***`` separators,
+    boilerplate dropped, punctuation folded)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
+        extract_document,
+    )
+
+    metadata = metadata or {}
+    fmt, spans = file_to_spans(path)
+    rows = [(k, t, r) for k, t, r, _ in spans]
+    out, status = extract_document(fmt, rows, metadata.get("title"), metadata.get("author"))
+    if status != "ok":
+        raise RuntimeError(f"extraction failed: {status}")
+    return "".join(text for _, text, _, _ in out)
+
+
+def ingest_files(spark, paths: List[str], metadata_by_path: Optional[dict] = None):
+    """Build the engine's input DataFrame from local files (driver-side;
+    for lake-scale ingest use binaryFile + mapInPandas with the same
+    per-file parsers)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        INPUT_SCHEMA,
+    )
+
+    metadata_by_path = metadata_by_path or {}
+    rows = []
+    for p in paths:
+        fmt, spans = file_to_spans(p)
+        meta = metadata_by_path.get(p, {})
+        rows.append(
+            (
+                p,
+                fmt,
+                meta.get("title"),
+                meta.get("author"),
+                [
+                    {"kind": k, "text": t, "media_ref": r, "offset": o}
+                    for k, t, r, o in spans
+                ],
+            )
+        )
+    return spark.createDataFrame(rows, schema=INPUT_SCHEMA)

@@ -1,0 +1,176 @@
+"""Real-file ingestion tests: build actual EPUB/DOCX/TXT files with the
+stdlib and check the end-to-end compat API reproduces the reference's
+golden strings for the same inputs."""
+
+import zipfile
+
+import pytest
+
+from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+    convert_file_to_text,
+    docx_file_to_spans,
+    epub_file_to_spans,
+    file_to_spans,
+    pdf_file_to_spans,
+    txt_file_to_spans,
+)
+from tests import fixtures as fx
+
+METADATA = {"title": fx.TITLE, "author": fx.AUTHOR}
+
+
+def _write_epub(path, sections):
+    """sections: list of (href, xhtml_body)."""
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr(
+            "META-INF/container.xml",
+            '<?xml version="1.0"?>'
+            '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container" version="1.0">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/></rootfiles></container>',
+        )
+        manifest = "".join(
+            f'<item id="s{i}" href="{href}" media-type="application/xhtml+xml"/>'
+            for i, (href, _) in enumerate(sections)
+        )
+        spine = "".join(f'<itemref idref="s{i}"/>' for i in range(len(sections)))
+        zf.writestr(
+            "OEBPS/content.opf",
+            '<?xml version="1.0"?>'
+            '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" unique-identifier="id">'
+            f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>",
+        )
+        for href, body in sections:
+            zf.writestr(
+                f"OEBPS/{href}",
+                "<?xml version='1.0' encoding='utf-8'?><html><head><title>x</title></head>"
+                f"<body>{body}</body></html>",
+            )
+
+
+def _write_docx(path, paragraphs):
+    """paragraphs: list of (text, page_break_before, image_rid|None)."""
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    paras = []
+    for text, brk, rid in paragraphs:
+        ppr = "<w:pPr><w:pageBreakBefore/></w:pPr>" if brk else ""
+        drawing = (
+            f'<w:drawing><a:blip xmlns:a="{a}" r:embed="{rid}"/></w:drawing>' if rid else ""
+        )
+        paras.append(f"<w:p>{ppr}<w:r>{drawing}<w:t>{text}</w:t></w:r></w:p>")
+    doc = (
+        f'<?xml version="1.0"?><w:document xmlns:w="{w}" xmlns:r="{r}">'
+        f"<w:body>{''.join(paras)}</w:body></w:document>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+
+
+def test_epub_golden_string(tmp_path):
+    """Mirror of tests/test_files/test_epub.epub → reference golden."""
+    lorem_ps = "".join(f"<p>{p}</p>" for p in fx.LOREM)
+    _write_epub(
+        tmp_path / "book.epub",
+        [
+            ("Text/Section0001.xhtml", f"<p>{fx.TITLE}</p>"),
+            ("Text/Section0002.xhtml", "<p></p>"),
+            (
+                "Text/Section0003.xhtml",
+                "<p>Introduction</p><p>Sample introduction text paragraph.</p>",
+            ),
+            (
+                "Text/Section0004.xhtml",
+                "<p>Chapter One</p><p>First chapter paragraph text.</p>",
+            ),
+            ("Text/Section0005.xhtml", f"<p>Chapter 2</p>{lorem_ps}"),
+        ],
+    )
+    text = convert_file_to_text(tmp_path / "book.epub", METADATA)
+    assert text == "First chapter paragraph text.\n***\n" + "\n".join(fx.LOREM)
+
+
+def test_epub_nested_markup_and_images(tmp_path):
+    _write_epub(
+        tmp_path / "book.epub",
+        [
+            (
+                "Text/c1.xhtml",
+                "<h1>Chapter <em>3</em></h1><p>Body with <b>bold</b> words.</p>"
+                '<img src="img7"/><p>Closing chapter text.</p>',
+            )
+        ],
+    )
+    fmt, spans = file_to_spans(tmp_path / "book.epub")
+    assert fmt == "epub"
+    kinds = [(k, t, r) for k, t, r, _ in spans]
+    assert kinds[1] == ("h1", "Chapter 3", "")  # nested em text included
+    assert kinds[3] == ("img", "", "img7")
+    text = convert_file_to_text(tmp_path / "book.epub", METADATA)
+    assert text == "Body with bold words.\n\nClosing chapter text."
+
+
+def test_docx_golden_string(tmp_path):
+    paragraphs = (
+        [(fx.TITLE, False, None), ("", False, None), (fx.AUTHOR, False, None)]
+        + [("Introduction", True, None), ("Sample introduction text paragraph.", False, None)]
+        + [("Chapter 1", True, None), ("First chapter paragraph text.", False, None)]
+        + [("Chapter 2", True, None), (fx.LOREM[0], False, None), (fx.LOREM[1], False, None)]
+        + [(fx.LOREM[2], True, None), (fx.LOREM[3], False, None), (fx.LOREM[4], False, None)]
+    )
+    _write_docx(tmp_path / "book.docx", paragraphs)
+    text = convert_file_to_text(tmp_path / "book.docx", METADATA)
+    assert text == "\nFirst chapter paragraph text.\n***\n" + "\n".join(fx.LOREM[:5])
+
+
+def test_docx_image_paragraph(tmp_path):
+    _write_docx(
+        tmp_path / "book.docx",
+        [("Chapter 1", True, None), ("Before.", False, None), ("ignored", False, "rId5")],
+    )
+    fmt, spans = file_to_spans(tmp_path / "book.docx")
+    assert ("img", "ignored", "rId5", 3) in spans
+    assert spans[0] == ("page_break", "", "", 0)
+
+
+def test_txt_roundtrip(tmp_path):
+    f = tmp_path / "book.txt"
+    f.write_text(
+        f"{fx.TITLE}\n\nChapter 1\nIt was a dark night.\n2\nThe end.",
+        encoding="utf-8",
+    )
+    assert txt_file_to_spans(f)[0] == ("line", fx.TITLE, "", 0)
+    text = convert_file_to_text(f, METADATA)
+    assert text == f"{fx.TITLE}\n***\nIt was a dark night.\n***\nThe end."
+
+
+def test_pdf_requires_pdfminer(tmp_path):
+    f = tmp_path / "x.pdf"
+    f.write_bytes(b"%PDF-1.4")
+    with pytest.raises(NotImplementedError, match="pdfminer"):
+        pdf_file_to_spans(f)
+
+
+def test_unknown_suffix_raises(tmp_path):
+    f = tmp_path / "x.mobi"
+    f.write_text("x")
+    with pytest.raises(ValueError, match="Unsupported"):
+        file_to_spans(f)
+
+
+def test_ingest_files_into_spark(spark, tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+        ingest_files,
+    )
+
+    f = tmp_path / "a.txt"
+    f.write_text("Chapter 1\nHello there.", encoding="utf-8")
+    df = ingest_files(spark, [str(f)], {str(f): METADATA})
+    out = extract_spans(df).collect()
+    assert len(out) == 1
+    assert "".join(s.text for s in out[0].spans) == "\nHello there."
