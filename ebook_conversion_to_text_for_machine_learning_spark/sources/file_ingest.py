@@ -172,7 +172,7 @@ def pdf_file_to_spans(path: str | Path) -> List[InSpan]:
 
     spans: List[InSpan] = []  # pragma: no cover
     offset = 0
-    for page_index, page in enumerate(extract_pages(str(path), maxpages=25)):
+    for page_index, page in enumerate(extract_pages(path, maxpages=25)):
         if page_index:
             spans.append(("page_break", "", "", offset))
             offset += 1
@@ -220,6 +220,68 @@ def convert_file_to_text(
     if status != "ok":
         raise RuntimeError(f"extraction failed: {status}")
     return "".join(text for _, text, _, _ in out)
+
+
+def bytes_to_spans(filename: str, data: bytes) -> Tuple[str, List[InSpan]]:
+    """Parse raw file bytes (executor-side variant — zip parsers accept
+    file-like objects, so no temp files)."""
+    import io
+
+    suffix = Path(filename).suffix.lower()
+    if suffix in (".txt", ".text"):
+        return "txt", [
+            ("line", line, "", i)
+            for i, line in enumerate(data.decode("utf-8", errors="replace").splitlines())
+        ]
+    if suffix == ".epub":
+        return "epub", epub_file_to_spans(io.BytesIO(data))
+    if suffix == ".docx":
+        return "docx", docx_file_to_spans(io.BytesIO(data))
+    if suffix == ".pdf":
+        return "pdf", pdf_file_to_spans(io.BytesIO(data))
+    raise ValueError(f"Unsupported file type: {suffix}")
+
+
+def ingest_files_distributed(spark, path_glob: str):
+    """Lake-scale ingest: ``binaryFile`` scan → Arrow-batched parsing.
+
+    Each executor task parses whole files from the binary source; unparseable
+    files become quarantine rows (``fmt='error'``, empty spans) instead of
+    task failures — at 10^12 files a corrupt zip must never kill a stage.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        INPUT_SCHEMA,
+    )
+
+    binary = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for path, content in zip(batch["path"], batch["content"]):
+                try:
+                    fmt, spans = bytes_to_spans(path, bytes(content))
+                except Exception:  # noqa: BLE001 — quarantine, never fail the task
+                    fmt, spans = "error", []
+                rows.append(
+                    {
+                        "doc_id": path,
+                        "fmt": fmt,
+                        "title": None,
+                        "author": None,
+                        "spans": [
+                            {"kind": k, "text": t, "media_ref": r, "offset": o}
+                            for k, t, r, o in spans
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in INPUT_SCHEMA.fields])
+
+    return binary.mapInPandas(parse, schema=INPUT_SCHEMA)
 
 
 def ingest_files(spark, paths: List[str], metadata_by_path: Optional[dict] = None):

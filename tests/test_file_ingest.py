@@ -160,6 +160,28 @@ def test_unknown_suffix_raises(tmp_path):
         file_to_spans(f)
 
 
+def test_ingest_files_distributed(spark, tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+        ingest_files_distributed,
+    )
+
+    (tmp_path / "a.txt").write_text("Chapter 1\nHello there.", encoding="utf-8")
+    _write_epub(
+        tmp_path / "b.epub",
+        [("Text/c1.xhtml", "<p>Chapter One</p><p>Epub body text.</p>")],
+    )
+    (tmp_path / "c.docx").write_bytes(b"not a zip at all")  # quarantine path
+
+    df = ingest_files_distributed(spark, str(tmp_path))
+    out = {r.doc_id.rsplit("/", 1)[-1]: r for r in extract_spans(df).collect()}
+    assert "".join(s.text for s in out["a.txt"].spans) == "\nHello there."
+    assert "".join(s.text for s in out["b.epub"].spans) == "Epub body text."
+    assert out["c.docx"].status == "unknown_format" and out["c.docx"].spans == []
+
+
 def test_ingest_files_into_spark(spark, tmp_path):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
         extract_spans,
