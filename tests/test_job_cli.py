@@ -1,0 +1,44 @@
+"""End-to-end test of the spark-submit entry point (plans/job.py CLI)."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_job_cli_end_to_end(spark, tmp_path):
+    from tests import fixtures as fx
+    from tests.conftest import spans_df
+
+    docs = [doc for doc, _ in fx.GOLDEN_DOCS]
+    in_dir = str(tmp_path / "in")
+    spans_df(spark, docs).write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    result = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ebook_conversion_to_text_for_machine_learning_spark.plans.job",
+            "--input", in_dir,
+            "--output", out_dir,
+            "--lineage", str(tmp_path / "lineage"),
+            "--metrics", str(tmp_path / "metrics"),
+            "--master", "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    summary = json.loads([l for l in result.stdout.splitlines() if l.startswith("{")][-1])
+    assert sum(m["docs"] for m in summary["metrics"]) == len(docs)
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == len(docs)
+    expected = {d["doc_id"]: exp for d, exp in fx.GOLDEN_DOCS}
+    for row in out.collect():
+        got = [(s.kind, s.text, s.media_ref, s.order) for s in row.spans]
+        assert got == expected[row.doc_id], row.doc_id

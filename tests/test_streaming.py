@@ -31,6 +31,43 @@ def test_windowed_event_counts_match_batch(spark, tmp_path):
     assert {(r.event_type, r.n) for r in streamed} == {(r.event_type, r.n) for r in batch}
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState accumulates per-format totals across batches."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.streaming.stateful import (
+        running_extraction_totals,
+    )
+
+    docs = [doc for doc, _ in fx.GOLDEN_DOCS]
+    in_dir = str(tmp_path / "in")
+    spans_df(spark, docs).write.parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    totals = running_extraction_totals(extract_spans(stream))
+    query = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        rows = spark.sql(
+            "SELECT fmt, max(docs_total) AS docs FROM running_totals GROUP BY fmt"
+        ).collect()
+    finally:
+        query.stop()
+    got = {r.fmt: r.docs for r in rows}
+    from collections import Counter
+
+    expected = Counter(d["fmt"] for d in docs)
+    assert got == dict(expected)
+
+
 def test_stream_extraction_drains_input(spark, tmp_path):
     from ebook_conversion_to_text_for_machine_learning_spark.streaming.stream import (
         stream_extraction,
