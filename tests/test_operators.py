@@ -95,6 +95,58 @@ def test_cosine_topk_identical_vector_ranks_first(spark):
     assert all(r.item_id != 3 for r in ann)
 
 
+def test_transcript_sidecar_enrichment(spark):
+    """epub-002 with the transcript stripped from the input + supplied via
+    the sidecar must extract identically to the original golden."""
+    from tests import fixtures as fx
+    from tests.conftest import spans_df
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.transcripts import (
+        apply_transcripts,
+    )
+
+    doc = dict(fx.EPUB_002)
+    doc["spans"] = [
+        (k, "" if k == "img" else t, r, o) for k, t, r, o in doc["spans"]
+    ]
+    sidecar = spark.createDataFrame(
+        [(doc["doc_id"], "chapter_one.jpg", "Chapter One")],
+        "doc_id string, media_ref string, transcript string",
+    )
+    enriched = apply_transcripts(spans_df(spark, [doc]), sidecar)
+    out = extract_spans(enriched).collect()[0]
+    got = [(s.kind, s.text, s.media_ref, s.order) for s in out.spans]
+    assert got == fx.EPUB_002_EXPECTED
+
+    # Without the sidecar, the empty transcript means no chapter trigger →
+    # that section is dropped (the reference's OCR-failure behavior).
+    bare = extract_spans(spans_df(spark, [doc])).collect()[0]
+    bare_text = "".join(s.text for s in bare.spans)
+    assert "First chapter paragraph text." not in bare_text
+
+
+def test_unknown_span_kinds_ignored(spark):
+    from tests import fixtures as fx
+    from tests.conftest import spans_df
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+
+    doc = fx._doc(
+        "txt-odd",
+        "txt",
+        fx._spans(
+            [("line", "Hello.", ""), ("weird_kind", "IGNORED", ""), ("line", "Bye.", "")]
+        ),
+    )
+    out = extract_spans(spans_df(spark, [doc])).collect()[0]
+    assert "".join(s.text for s in out.spans) == "Hello.\nBye."
+
+
 def test_media_stub_and_error_path(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.media import (
         attach_payloads,
