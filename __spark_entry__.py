@@ -378,6 +378,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_ann_topk"] = lsh_ann_topk
 
+    def ivf_cells(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        out = S.ivf_assign(emb, S.ivf_centroids(emb))
+        return out.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell_id").cast("long").alias("cell_id"),
+        )
+
+    q["ivf_cells"] = ivf_cells
+
+    def ivf_ann_topk(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        probes = emb.where(F.col("vec_id") < 10)
+        out = S.ivf_ann_topk(emb, probes, k=5)
+        return out.select("probe_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+    q["ivf_ann_topk"] = ivf_ann_topk
+
+    def embedding_near_dup(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        # 0.25 is tuned to the synthetic corpus (no true near-dups exist in
+        # it); production near-dup removal runs the same plan at ~0.9.
+        return S.embedding_near_dup(emb, EMBED_DIM, threshold=0.25)
+
+    q["embedding_near_dup"] = embedding_near_dup
+
     # --- multimodal plumbing -------------------------------------------------
     def media_features(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
@@ -385,6 +411,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.extract_media_features(payloads)
 
     q["media_features"] = media_features
+
+    def frame_samples(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        payloads = M.attach_payloads(docs, "doc_id", "text", "image")
+        return M.sample_frames(payloads)
+
+    q["frame_samples"] = frame_samples
 
     # --- relational shell (lineage/metrics-style aggregations + joins) ------
     def pricing_summary(spark, sf_dir):
@@ -662,6 +695,60 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, item_id) AS rnk
   FROM pairs)
 SELECT probe_id, item_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
+
+    ivf_assign_ctes = f"""
+cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % {S.IVF_STRIDE} = 0),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_SQL_COSINE.format(p="e.embedding", c="c.cvec")} AS cos
+  FROM embeddings e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS crnk
+  FROM scored)"""
+
+    o["ivf_cells"] = f"""
+WITH {ivf_assign_ctes}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(centroid_id AS BIGINT) AS cell_id
+FROM assign WHERE crnk = 1"""
+
+    o["ivf_ann_topk"] = f"""
+WITH {ivf_assign_ctes},
+cells AS (SELECT vec_id, embedding, centroid_id AS cell_id FROM assign WHERE crnk = 1),
+probe_cells AS (
+  SELECT vec_id, embedding, centroid_id AS cell_id FROM assign
+  WHERE crnk <= {S.IVF_NPROBE} AND vec_id < 10),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS item_id,
+         {_SQL_COSINE.format(p="p.embedding", c="c.embedding")} AS cosine
+  FROM probe_cells p JOIN cells c ON c.cell_id = p.cell_id AND c.vec_id != p.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, item_id) AS rnk
+  FROM pairs)
+SELECT probe_id, item_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
+
+    o["embedding_near_dup"] = f"""
+WITH sigs AS (SELECT vec_id, embedding, {_sql_lsh_bucket("embedding")} AS bucket FROM embeddings)
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       {_SQL_COSINE.format(p="l.embedding", c="r.embedding")} AS cosine
+FROM sigs l JOIN sigs r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {_SQL_COSINE.format(p="l.embedding", c="r.embedding")} >= 0.25"""
+
+    o["frame_samples"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+         octet_length(encode(text)) AS n
+  FROM documents),
+f AS (
+  SELECT media_id, text,
+         unnest(range(0, least({M.MAX_FRAMES}, CAST(floor((n - 1) / {M.FRAME_STRIDE}) AS INT) + 1))) AS i
+  FROM t WHERE n > 0)
+SELECT media_id, 'image' AS media_type,
+  CAST(i AS INT) AS frame_idx,
+  CAST(i * {M.FRAME_STRIDE} AS BIGINT) AS frame_offset,
+  CAST(length(substring(text, i * {M.FRAME_STRIDE} + 1, {M.FRAME_SIZE})) AS BIGINT) AS frame_bytes,
+  md5(substring(text, i * {M.FRAME_STRIDE} + 1, {M.FRAME_SIZE})) AS frame_md5
+FROM f"""
 
     o["media_features"] = """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -74,7 +74,10 @@ def main() -> None:
         "fingerprints",
         "cosine_topk",
         "lsh_ann_topk",
+        "ivf_ann_topk",
+        "embedding_near_dup",
         "media_features",
+        "frame_samples",
         "pricing_summary",
         "nation_revenue",
         "events_hourly",

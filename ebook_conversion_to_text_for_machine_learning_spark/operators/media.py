@@ -61,6 +61,108 @@ def _decode_real(payload: bytes, media_type: str):
     )
 
 
+FRAME_SIZE = 16
+FRAME_STRIDE = 64
+MAX_FRAMES = 32
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    frame_size: int = FRAME_SIZE,
+    stride: int = FRAME_STRIDE,
+    max_frames: int = MAX_FRAMES,
+) -> DataFrame:
+    """Strided frame sampling over binary payloads — fully JVM-side.
+
+    The video/audio analogue of "take every Nth frame": one output row per
+    sampled byte window (offset ``i*stride``, width ``frame_size``), capped
+    at ``max_frames`` per payload. Everything is built-in expressions
+    (``sequence`` → ``posexplode`` → binary ``substring``/``md5``) inside
+    whole-stage codegen — no Python, no shuffle; the explode factor is
+    bounded by ``max_frames`` so output size is predictable at any scale.
+    A real decoder would replace the byte window with a codec frame-seek;
+    the partitioning, capping, and per-frame schema stay identical.
+    """
+    n = F.octet_length("payload")
+    n_frames = F.least(
+        F.lit(max_frames), (F.floor((n - 1) / stride) + 1).cast("int")
+    )
+    idx = F.when(n > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    frame = F.expr(f"substring(payload, frame_idx * {stride} + 1, {frame_size})")
+    return (
+        df.select(
+            "media_id",
+            "media_type",
+            "payload",
+            F.explode(idx).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "media_type",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            (F.col("frame_idx").cast("long") * stride).alias("frame_offset"),
+            F.octet_length(frame).cast("long").alias("frame_bytes"),
+            F.md5(frame).alias("frame_md5"),
+        )
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("target_w", IntegerType(), False),
+        StructField("target_h", IntegerType(), False),
+        StructField("resized_bytes", LongType(), False),
+        StructField("resized_md5", StringType(), False),
+        StructField("status", StringType(), False),
+    ]
+)
+
+
+def resize_media_stub(
+    df: DataFrame, *, target_w: int = 64, target_h: int = 64, decode_stub: bool = True
+) -> DataFrame:
+    """Resize plumbing: Arrow-batched, deterministic stub for the codec step.
+
+    The stub "resize" keeps the first ``target_w * target_h`` payload bytes
+    (or zero-pads) so output size, schema, and batch shape match what a
+    Pillow-backed resize would produce; ``decode_stub=False`` raises at the
+    exact call site where the codec belongs.
+    """
+    import hashlib
+
+    target = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            rows = []
+            for mid, mtype, payload in zip(
+                batch["media_id"], batch["media_type"], batch["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                if not decode_stub:
+                    _decode_real(data, mtype)
+                resized = data[:target].ljust(target, b"\x00")
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "target_w": target_w,
+                        "target_h": target_h,
+                        "resized_bytes": len(resized),
+                        "resized_md5": hashlib.md5(resized).hexdigest(),
+                        "status": "stub_resized",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def extract_media_features(df: DataFrame, *, decode_stub: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

@@ -106,6 +106,162 @@ def lsh_bucket_signatures(
     )
 
 
+#: IVF codebook sampling stride (centroid iff ``vec_id % IVF_STRIDE == 0``)
+#: and default number of cells each probe searches.
+IVF_STRIDE = 50
+IVF_NPROBE = 2
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    stride: int = IVF_STRIDE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Collect the IVF codebook to the driver.
+
+    IVF's defining trade is a *small* centroid set (≤64k cells even for
+    billion-vector indexes) against a huge corpus, so collecting the
+    codebook and re-broadcasting it as literal expressions is the
+    scale-correct shape: cell assignment then runs as a narrow per-row
+    projection with zero shuffle. Centroid choice here is a deterministic
+    data sample (every ``stride``-th id) so the DuckDB oracle can rebuild
+    the identical codebook; swap in k-means output in production without
+    touching the assignment/search plan.
+    """
+    rows = (
+        corpus.where(F.col(id_col) % stride == 0)
+        .select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    return sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
+
+
+def _cell_ranking(vec: Column, centroids: list) -> Column:
+    """array<struct<neg_cos,centroid_id>> sorted best-first (cos DESC, id ASC)."""
+    import math
+
+    entries = []
+    vnorm = _norm(vec)
+    for cid, cvec in centroids:
+        lit_plane = F.array(*[F.lit(float(x)) for x in cvec])
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        cos = F.round(_dot(vec, lit_plane) / (vnorm * F.lit(cnorm)), 4)
+        entries.append(
+            F.struct((-cos).alias("neg_cos"), F.lit(cid).cast("long").alias("centroid_id"))
+        )
+    return F.sort_array(F.array(*entries))
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid cell per vector — per-row expressions, no shuffle."""
+    ranking = _cell_ranking(F.col(vec_col), centroids)
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(ranking, 1)["centroid_id"].alias("cell_id"),
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    stride: int = IVF_STRIDE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine over the probe's ``nprobe`` cells.
+
+    Plan shape at scale: corpus→cell assignment is a narrow projection
+    (codebook inlined as literals); the search joins the huge cell-tagged
+    corpus against a broadcast of (probe × nprobe) rows keyed on cell_id,
+    so the corpus is never shuffled and each item is scored at most once
+    per probe (an item lives in exactly one cell).
+    """
+    from pyspark.sql.window import Window
+
+    centroids = ivf_centroids(corpus, stride=stride, vec_col=vec_col, id_col=id_col)
+    c = corpus.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("item_vec"),
+        F.element_at(_cell_ranking(F.col(vec_col), centroids), 1)["centroid_id"].alias("cell_id"),
+    )
+    probe_cells = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.explode(
+            F.transform(
+                F.slice(_cell_ranking(F.col(vec_col), centroids), 1, nprobe),
+                lambda s: s["centroid_id"],
+            )
+        ).alias("probe_cell"),
+    )
+    cosine = F.round(
+        _dot(F.col("probe_vec"), F.col("item_vec"))
+        / (_norm(F.col("probe_vec")) * _norm(F.col("item_vec"))),
+        4,
+    )
+    scored = c.join(
+        F.broadcast(probe_cells),
+        (F.col("cell_id") == F.col("probe_cell")) & (F.col("probe_id") != F.col("item_id")),
+    ).select("probe_id", "item_id", cosine.alias("cosine"))
+    window = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "item_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    dim: int,
+    *,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    The candidate join keys on the sign-projection bucket (narrow string),
+    never a cross product; exact cosine then verifies candidates only.
+    This is the embedding-space sibling of MinHash-LSH text dedup: at
+    10^12 rows the shuffle carries (id, bucket, vec) and each bucket is a
+    tiny island of pairwise work.
+    """
+    sigs = lsh_bucket_signatures(df, dim, vec_col=vec_col, id_col=id_col)
+    base = (
+        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        .join(sigs.withColumnRenamed("vec_id", "vid"), "vid")
+    )
+    left, right = base.alias("l"), base.alias("r")
+    cosine = F.round(
+        _dot(F.col("l.vec"), F.col("r.vec")) / (_norm(F.col("l.vec")) * _norm(F.col("r.vec"))),
+        4,
+    )
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(
+            F.col("l.vid").alias("vec_a"),
+            F.col("r.vid").alias("vec_b"),
+            cosine.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -163,3 +163,93 @@ def test_media_stub_and_error_path(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_media_features(payloads, decode_stub=False).collect()
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_assign_and_topk_find_identical_vector(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    # Two clusters around orthogonal axes; centroids are ids 0 and 50.
+    axis_a = [1.0, 0.0, 0.0, 0.0]
+    axis_b = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, axis_a),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.95, 0.05, 0.0, 0.0]),
+        (50, axis_b),
+        (51, [0.1, 0.9, 0.0, 0.0]),
+    ]
+    df = _emb_df(spark, rows)
+    cents = ivf_centroids(df, stride=50)
+    assert [c[0] for c in cents] == [0, 50]
+    cells = {r.vec_id: r.cell_id for r in ivf_assign(df, cents).collect()}
+    assert cells[1] == 0 and cells[2] == 0 and cells[51] == 50
+
+    probes = df.where(F.col("vec_id") == 1)
+    out = ivf_ann_topk(df, probes, k=2, stride=50)
+    got = [(r.item_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got[0][0] == 2  # nearest same-cell neighbor, self excluded
+
+
+def test_embedding_near_dup_threshold(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    dup = [0.6, 0.8, 0.0, 0.0]
+    ortho = [0.0, 0.0, 1.0, 0.0]
+    df = _emb_df(spark, [(1, dup), (2, dup), (3, ortho)])
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in embedding_near_dup(df, 4).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_sample_frames_offsets_and_cap(spark):
+    import hashlib
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.media import (
+        attach_payloads,
+        sample_frames,
+    )
+
+    long_text = "x" * 300  # 300 bytes → frames at 0, 64, 128, 192, 256
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "short"), (3, "")], "doc_id long, text string"
+    )
+    payloads = attach_payloads(df, "doc_id", "text", "image")
+    frames = sample_frames(payloads, frame_size=16, stride=64, max_frames=4)
+    by_doc = {}
+    for r in frames.collect():
+        by_doc.setdefault(r.media_id, []).append(r)
+    assert len(by_doc["1"]) == 4  # 5 windows capped at 4
+    f0 = sorted(by_doc["1"], key=lambda r: r.frame_idx)[0]
+    assert f0.frame_offset == 0 and f0.frame_bytes == 16
+    assert f0.frame_md5 == hashlib.md5(b"x" * 16).hexdigest()
+    (short,) = by_doc["2"]
+    assert short.frame_bytes == 5  # tail window is the whole payload
+    assert "3" not in by_doc  # empty payload yields no frames
+
+
+def test_resize_media_stub_pads_and_truncates(spark):
+    import hashlib
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.media import (
+        attach_payloads,
+        resize_media_stub,
+    )
+
+    df = spark.createDataFrame([(1, "abc"), (2, "z" * 100)], "doc_id long, text string")
+    payloads = attach_payloads(df, "doc_id", "text", "image")
+    rows = {r.media_id: r for r in resize_media_stub(payloads, target_w=4, target_h=4).collect()}
+    assert rows["1"].resized_bytes == 16
+    assert rows["1"].resized_md5 == hashlib.md5(b"abc".ljust(16, b"\x00")).hexdigest()
+    assert rows["2"].resized_md5 == hashlib.md5(b"z" * 16).hexdigest()
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_media_stub(payloads, decode_stub=False).collect()
