@@ -1,0 +1,112 @@
+"""Physical-plan audits: pin the scale-critical properties of the plans
+Catalyst actually produces, so a regression that silently de-optimizes a
+hot path (lost pushdown, surprise shuffle, row-wise Python) fails CI.
+
+These mirror what `.explain("formatted")` review found by hand: at 100 TB
+the difference between these plans and naive ones is the job.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_embeddings_probe_filter_pushed_to_scan(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(emb.where(F.col("vec_id") < 10).select("vec_id"))
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]" in plan
+    # Column pruning: the scan must not read the 64-float embedding column.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "embedding" not in read_schema
+
+
+def test_documents_scan_prunes_to_projected_columns(spark):
+    q = entrymod.queries()["token_stats"](spark, SF_DIR)
+    plan = plan_of(q)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "doc_id" in read_schema
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in read_schema
+
+
+def test_pricing_summary_pushes_date_filter_and_partial_agg(spark):
+    q = entrymod.queries()["pricing_summary"](spark, SF_DIR)
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate," in plan
+    # Map-side combine: partial + final HashAggregate pair.
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_nation_revenue_broadcasts_dimensions(spark):
+    q = entrymod.queries()["nation_revenue"](spark, SF_DIR)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_extraction_plan_is_arrow_not_rowwise_python(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.tables import (
+        documents_as_txt_spans,
+    )
+
+    plan = plan_of(extract_spans(documents_as_txt_spans(spark, SF_DIR)))
+    assert "MapInArrow" in plan or "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF
+
+
+def test_ivf_assignment_has_no_shuffle(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(S.ivf_assign(emb, S.ivf_centroids(emb)))
+    assert "Exchange" not in plan  # codebook is inlined; pure projection
+
+
+def test_sample_frames_stays_jvm_side(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators import media as M
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(M.sample_frames(M.attach_payloads(docs, "doc_id", "text", "image")))
+    assert "Generate" in plan  # bounded explode
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_minhash_candidates_join_keys_are_narrow(spark):
+    q = entrymod.queries()["minhash_candidates"](spark, SF_DIR)
+    plan = plan_of(q)
+    # The self-join must key on (band_id, bucket) — never carry raw text.
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "Input" not in l]
+    assert join_lines, plan
+    assert "text" not in " ".join(join_lines)
+
+
+def test_resume_anti_join_is_anti(spark, tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.plans.pipeline import (
+        resume_filter,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.tables import (
+        documents_as_txt_spans,
+    )
+
+    docs = documents_as_txt_spans(spark, SF_DIR)
+    done = docs.select("doc_id").limit(5).withColumn("status", F.lit("committed"))
+    plan = plan_of(resume_filter(docs, done))
+    assert "LeftAnti" in plan
