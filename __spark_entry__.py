@@ -334,10 +334,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_common = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams"))).cast("long")
         # |A∪B| = |A|+|B|-|A∩B| — avoids materializing the union array.
         n_union = (F.col("l.n_grams") + F.col("r.n_grams")).cast("long") - n_common
+        # J ≥ 1/2 forces 3·min(|A|,|B|) ≥ |A|+|B| — cheap integer prune in
+        # the join condition, evaluated before the O(n) array_intersect.
+        size_ok = (
+            F.lit(3) * F.least(F.col("l.n_grams"), F.col("r.n_grams"))
+            >= F.col("l.n_grams") + F.col("r.n_grams")
+        )
         return (
             left.join(
                 right,
-                (F.col("l.block") == F.col("r.block")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+                (F.col("l.block") == F.col("r.block"))
+                & (F.col("l.doc_id") < F.col("r.doc_id"))
+                & size_ok,
             )
             .select(
                 F.col("l.doc_id").alias("doc_a"),
@@ -350,10 +358,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard"] = ngram_jaccard
 
+    def minhash_verified_dedup(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        cands = D.minhash_candidate_pairs(docs)
+        grams = docs.select(
+            "doc_id",
+            D.shingles_col(F.col("text")).alias("grams"),
+        )
+        ga = grams.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("grams").alias("grams_a"),
+            F.size("grams").alias("na"),
+        )
+        gb = grams.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("grams").alias("grams_b"),
+            F.size("grams").alias("nb"),
+        )
+        n_common = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b"))).cast("long")
+        n_union = (F.col("na") + F.col("nb")).cast("long") - n_common
+        return (
+            cands.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                n_common.alias("n_common"),
+                n_union.alias("n_union"),
+            )
+            .where(F.lit(2) * F.col("n_common") >= F.col("n_union"))
+        )
+
+    q["minhash_verified_dedup"] = minhash_verified_dedup
+
     def simhash_signatures(spark, sf_dir):
         return D.simhash_signatures(read_table(spark, sf_dir, "documents"))
 
     q["simhash_signatures"] = simhash_signatures
+
+    def simhash_near_pairs(spark, sf_dir):
+        return D.simhash_near_pairs(read_table(spark, sf_dir, "documents"), max_hamming=2)
+
+    q["simhash_near_pairs"] = simhash_near_pairs
 
     # --- similarity search --------------------------------------------------
     def cosine_topk(spark, sf_dir):
@@ -649,6 +695,22 @@ SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bands l JOIN bands r
   ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id"""
 
+    o["minhash_verified_dedup"] = f"""
+WITH {_sql_minhash_sig_cte()},
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_common,
+    CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_union
+  FROM cand c
+  JOIN grams_t ga ON ga.doc_id = c.doc_a
+  JOIN grams_t gb ON gb.doc_id = c.doc_b)
+SELECT * FROM verified WHERE 2 * n_common >= n_union"""
+
     o["ngram_jaccard"] = f"""
 WITH t AS (SELECT doc_id, lang, list_distinct({tokens}) AS grams FROM documents)
 SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
@@ -670,6 +732,28 @@ WITH t AS (SELECT doc_id, unnest(list_distinct({tokens_lower})) AS tok FROM docu
 h AS (SELECT doc_id, md5(tok) AS hx FROM t),
 s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
 SELECT doc_id, CAST({bit_value} AS INT) AS simhash FROM s"""
+
+    n_blocks = 3  # max_hamming=2 → pigeonhole into 3 disjoint bit blocks
+    width = D.SIMHASH_BITS // n_blocks
+    block_rows = ", ".join(
+        f"({b}, {b * width}, {D.SIMHASH_BITS - b * width if b == n_blocks - 1 else width})"
+        for b in range(n_blocks)
+    )
+    o["simhash_near_pairs"] = f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({tokens_lower})) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({bit_value} AS INT) AS simhash FROM s),
+blocks(block_id, lo, w) AS (VALUES {block_rows}),
+banded AS (
+  SELECT doc_id, simhash, block_id,
+         (simhash // (1 << lo)) % (1 << w) AS block_val
+  FROM sig CROSS JOIN blocks)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+FROM banded l JOIN banded r
+  ON l.block_id = r.block_id AND l.block_val = r.block_val AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 2"""
 
     cosine = _SQL_COSINE.format(p="p.embedding", c="c.embedding")
     o["cosine_topk"] = f"""

@@ -66,7 +66,9 @@ def main() -> None:
         "exact_dedup",
         "minhash_signatures",
         "minhash_candidates",
+        "minhash_verified_dedup",
         "simhash_signatures",
+        "simhash_near_pairs",
         "ngram_jaccard",
         "token_stats",
         "quality_scores",

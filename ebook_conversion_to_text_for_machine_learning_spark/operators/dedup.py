@@ -134,10 +134,20 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams"))).cast("double")
     union = (F.col("l.n_grams") + F.col("r.n_grams")).cast("double") - inter
     jaccard = F.round(inter / union, 4)
+    # Size-ratio prefilter: J ≥ t and |∩| ≤ min imply
+    # min ≥ t/(1+t) · (|A|+|B|), so wildly mismatched sizes can never pass
+    # the threshold. Integer-only predicate in the join condition → pruned
+    # before the O(|A|+|B|) array_intersect runs. Semantically a no-op.
+    size_ok = (
+        F.least(F.col("l.n_grams"), F.col("r.n_grams")).cast("double") * (1.0 + threshold)
+        >= (F.col("l.n_grams") + F.col("r.n_grams")).cast("double") * threshold
+    )
     return (
         left.join(
             right,
-            (F.col("l.block") == F.col("r.block")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & size_ok,
         )
         .select(
             F.col("l.doc_id").alias("doc_a"),

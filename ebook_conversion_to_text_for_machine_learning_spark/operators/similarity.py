@@ -169,6 +169,48 @@ def ivf_assign(
     )
 
 
+def ivf_assign_arrow(
+    corpus: DataFrame,
+    centroids: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production-rate cell assignment: one numpy matmul per Arrow batch.
+
+    ``ivf_assign`` (expression-based) is the oracle-parity twin — its
+    sequential left-fold float sums are bit-identical to the SQL oracle but
+    run as interpreted higher-order functions, which caps per-row rate.
+    This path does the same (cosine DESC, centroid_id ASC) assignment as a
+    dense (batch × dim) @ (dim × k) matmul — the right trade at 10^12 rows,
+    where last-ulp summation-order differences are irrelevant. Centroids
+    arrive sorted by id, so numpy argmax's first-match rule reproduces the
+    min-id tie-break.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = np.array([c[0] for c in centroids], dtype=np.int64)
+    mat = np.array([c[1] for c in centroids], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            best = np.argmax((vecs / norms) @ mat.T, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": batch[id_col].astype("int64"), "cell_id": ids[best]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        batches, schema="vec_id long, cell_id long"
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -253,3 +253,21 @@ def test_resize_media_stub_pads_and_truncates(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         resize_media_stub(payloads, decode_stub=False).collect()
+
+
+def test_ivf_assign_arrow_matches_expression_path(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb)
+    expr = {r.vec_id: r.cell_id for r in ivf_assign(emb, cents).collect()}
+    fast = {r.vec_id: r.cell_id for r in ivf_assign_arrow(emb, cents).collect()}
+    assert len(expr) == len(fast) == 500
+    # Identical up to float-summation-order ties; on this corpus they agree
+    # everywhere — any systematic divergence would break far more than a tie.
+    disagree = [k for k in expr if expr[k] != fast[k]]
+    assert len(disagree) <= 2, disagree
