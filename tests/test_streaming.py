@@ -101,3 +101,37 @@ def test_stream_extraction_drains_input(spark, tmp_path):
     )
     query2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == len(docs)
+
+
+def test_streaming_exact_dedup_first_arrival_wins(spark, tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+
+    in_dir = str(tmp_path / "dedup_in")
+    rows = [
+        (1, "same text", "2024-01-01 10:00:00"),
+        (2, "same text", "2024-01-01 10:01:00"),  # dup within watermark
+        (3, "other text", "2024-01-01 10:02:00"),
+        (4, "same text", "2024-01-01 10:03:00"),  # another dup
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, ts string").write.parquet(
+        in_dir
+    )
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    deduped = streaming_exact_dedup(stream)
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        out = spark.sql("SELECT doc_id, text FROM dedup_sink").collect()
+    finally:
+        query.stop()
+    texts = sorted(r.text for r in out)
+    assert texts == ["other text", "same text"]  # one survivor per hash
