@@ -151,7 +151,9 @@ def is_chapter_heading(text: str) -> bool:
     lowered = text.lower().strip()
     if lowered.startswith("chapter"):
         return True
-    return len(lowered.split()) == 1 and is_number_token(lowered)
+    # maxsplit=1 bounds the scan: a long paragraph exits at its first
+    # whitespace instead of being tokenized end-to-end just to be counted.
+    return len(lowered.split(None, 1)) == 1 and is_number_token(lowered)
 
 
 import re as _re
