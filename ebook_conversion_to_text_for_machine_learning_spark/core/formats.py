@@ -62,6 +62,18 @@ def extract_txt(spans: Sequence[InSpan], title: str, author: str) -> List[OutSpa
     return assemble_output_spans(atoms, joiner="\n", break_text="***", lstrip_chars="*")
 
 
+def blocks_txt(spans: Sequence[InSpan], title: str, author: str) -> List[str]:
+    """The strings the reference's TXT ``parse_file`` generator yields —
+    ``clean_text`` of every line (blank results included; the string reduce
+    filters them), ``***`` for chapter headings (text_parser.py:23-37)."""
+    del title, author
+    return [
+        "***" if is_chapter_heading(text) else clean_text_block(fold_smart_punctuation(text))
+        for kind, text, _ref in spans
+        if kind == "line"
+    ]
+
+
 # --------------------------------------------------------------------------
 # EPUB (X1/X2) — per-section chapter gate.
 # Reference: epub_converter.py:75-122; window text mux epub_text_extractor.py:12-29.
@@ -98,7 +110,11 @@ def _epub_section_chapter(elements: Sequence[InSpan]) -> Tuple[str, List[str]] |
     return None
 
 
-def extract_epub(spans: Sequence[InSpan], title: str, author: str) -> List[OutSpan]:
+def _epub_kept_sections(
+    spans: Sequence[InSpan], title: str, author: str
+) -> List[Tuple[List[str], str]]:
+    """(media_refs, desmartened chapter text) per kept section — one entry
+    per string the reference's ``parse_file`` yields (epub_converter.py:108-122)."""
     # Split the span list into sections on 'section' markers; the marker's
     # text carries the spine item file name (FIXTURES.md §1).
     sections: List[Tuple[str, List[InSpan]]] = []
@@ -128,6 +144,16 @@ def extract_epub(spans: Sequence[InSpan], title: str, author: str) -> List[OutSp
         if not chapter_text:
             continue  # falsy chapter text is never yielded (epub_converter.py:121)
         kept.append((media, fold_smart_punctuation(chapter_text)))
+    return kept
+
+
+def blocks_epub(spans: Sequence[InSpan], title: str, author: str) -> List[str]:
+    """The strings the reference's EPUB ``parse_file`` generator yields."""
+    return [chapter for _media, chapter in _epub_kept_sections(spans, title, author)]
+
+
+def extract_epub(spans: Sequence[InSpan], title: str, author: str) -> List[OutSpan]:
+    kept = _epub_kept_sections(spans, title, author)
 
     # Chapters joined by "\n***\n" with no sink-side strip or blank filter
     # (epub_converter.py:56, :157-168); media markers precede their chapter.
@@ -146,21 +172,22 @@ def extract_epub(spans: Sequence[InSpan], title: str, author: str) -> List[OutSp
 # OCR-wins mux docx_text_extractor.py:14-27.
 # --------------------------------------------------------------------------
 
-def extract_docx(spans: Sequence[InSpan], title: str, author: str) -> List[OutSpan]:
-    atoms: List[Atom] = []          # global atom stream (non-blank pages)
+def _docx_page_atom_lists(
+    spans: Sequence[InSpan], title: str, author: str
+) -> List[List[Atom]]:
+    """One atom list per page flush — the page granularity the reference's
+    ``parse_file`` yields at (docx_converter.py:61-91). Media markers are
+    zero-width riders; a page whose only atoms are markers corresponds to a
+    page the reference never yields (``if current_page:`` guard)."""
+    pages: List[List[Atom]] = []
     page: List[Atom] = []           # current page's atoms
     para_index = 0                  # paragraphs seen since last page break
     latch = False                   # sticky non-chapter suppression
     pending_break = False           # a page_break span precedes the next para
 
     def _flush_page() -> None:
-        # Reference yields a page only when it has content
-        # (docx_converter.py:78, :90); zero-width media markers always ride
-        # along — the OCR consult happened regardless of the page's fate.
-        if any(a[0] != "M" for a in page):
-            atoms.extend(page)
-        else:
-            atoms.extend(a for a in page if a[0] == "M")
+        if page:
+            pages.append(list(page))
         page.clear()
 
     for kind, text, ref in spans:
@@ -194,7 +221,26 @@ def extract_docx(spans: Sequence[InSpan], title: str, author: str) -> List[OutSp
         else:
             page.append(("T", fold_smart_punctuation(effective)))
     _flush_page()
+    return pages
 
+
+def blocks_docx(spans: Sequence[InSpan], title: str, author: str) -> List[str]:
+    """The strings the reference's DOCX ``parse_file`` generator yields:
+    ``"\\n".join`` of each non-empty page's processed paragraphs."""
+    blocks = []
+    for page in _docx_page_atom_lists(spans, title, author):
+        content = [("***" if k == "B" else t) for k, t in page if k != "M"]
+        if content:  # `if current_page:` guard (docx_converter.py:78, :90)
+            blocks.append("\n".join(content))
+    return blocks
+
+
+def extract_docx(spans: Sequence[InSpan], title: str, author: str) -> List[OutSpan]:
+    # Flatten the page atom lists; media-only pages contribute their markers
+    # (the OCR consult happened regardless of the page's fate).
+    atoms: List[Atom] = []
+    for page in _docx_page_atom_lists(spans, title, author):
+        atoms.extend(page)
     return assemble_output_spans(atoms, joiner="\n", break_text="***", lstrip_chars="*")
 
 
@@ -286,7 +332,12 @@ def _pdf_page_atoms(page_lines: List[str], title: str, author: str) -> List[Atom
     return atoms
 
 
-def extract_pdf(spans: Sequence[InSpan], title: str, author: str) -> List[OutSpan]:
+def _pdf_page_atom_lists(
+    spans: Sequence[InSpan], title: str, author: str
+) -> List[List[Atom]]:
+    """Post-processed atoms per page, UNfiltered — one entry per string the
+    reference's ``parse_file`` yields (pdf_converter.py:154-167 yields every
+    page, blank or not; the string reduce filters blanks later)."""
     # Split into pages on page_break markers, honoring the 25-page cap.
     pages: List[List[InSpan]] = [[]]
     for kind, text, ref in spans:
@@ -297,27 +348,47 @@ def extract_pdf(spans: Sequence[InSpan], title: str, author: str) -> List[OutSpa
         elif kind in ("line", "img"):
             pages[-1].append((kind, text, ref))
 
-    atoms: List[Atom] = []
+    out: List[List[Atom]] = []
     for page in pages:
         images = [(t, r) for k, t, r in page if k == "img"]
         page_lines = [t for k, t, _ in page if k == "line"]
+        page_atoms: List[Atom] = []
         if images:
             # All of a page's images go through OCR as one batch and the
             # combined transcript is prepended as the page's first "line"
             # (pdf_text_extractor.py:88-100); markers land at page start.
             transcript = "\n".join(t for t, _ in images if t)
             page_lines = [transcript] + page_lines
-            atoms.extend(("M", ref) for _, ref in images)
-        page_atoms = _pdf_page_atoms(page_lines, title, author)
+            page_atoms.extend(("M", ref) for _, ref in images)
+        machine_atoms = _pdf_page_atoms(page_lines, title, author)
         # Page post-processing (pdf_converter.py:161-167): desmarten then
         # whitespace-squeeze. Both distribute over the atom boundaries:
         # desmarten is per-char, and no whitespace run can span two atoms
         # because every atom starts with a non-whitespace character.
-        page_atoms = [
+        page_atoms.extend(
             (k, squeeze_pdf_whitespace(fold_smart_punctuation(t)) if k == "T" else t)
-            for k, t in page_atoms
-        ]
-        # Blank pages are dropped by the string reduce (pdf_converter.py:215).
+            for k, t in machine_atoms
+        )
+        out.append(page_atoms)
+    return out
+
+
+def blocks_pdf(spans: Sequence[InSpan], title: str, author: str) -> List[str]:
+    """The strings the reference's PDF ``parse_file`` generator yields —
+    every page's assembled text, including blank pages."""
+    return [
+        "".join(("***\n" if k == "B" else t) for k, t in page if k != "M")
+        for page in _pdf_page_atom_lists(spans, title, author)
+    ]
+
+
+def extract_pdf(spans: Sequence[InSpan], title: str, author: str) -> List[OutSpan]:
+    atoms: List[Atom] = []
+    for page_atoms in _pdf_page_atom_lists(spans, title, author):
+        # Blank pages are dropped by the string reduce (pdf_converter.py:215)
+        # but their media markers survive — the OCR consult happened.
         if any(k == "B" or (k == "T" and t.strip()) for k, t in page_atoms):
             atoms.extend(page_atoms)
+        else:
+            atoms.extend(a for a in page_atoms if a[0] == "M")
     return assemble_output_spans(atoms, joiner="", break_text="***\n", lstrip_chars="*\n")

@@ -24,8 +24,15 @@ import posixpath
 import zipfile
 from html.parser import HTMLParser
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
 from xml.etree import ElementTree
+
+from ebook_conversion_to_text_for_machine_learning_spark.compat import (
+    DocxConversionError,
+    EpubConversionError,
+    PDFConversionError,
+    TextConversionError,
+)
 
 InSpan = Tuple[str, str, str, int]  # (kind, text, media_ref, offset)
 
@@ -88,6 +95,14 @@ def epub_file_to_spans(path: str | Path) -> List[InSpan]:
     followed by its p/img/h1-h6 element spans."""
     spans: List[InSpan] = []
     offset = 0
+    try:
+        return _epub_file_to_spans(path, spans, offset)
+    except (OSError, zipfile.BadZipFile, KeyError, ElementTree.ParseError, AttributeError) as e:
+        # Reference: read errors → EpubConversionError (epub_converter.py:59-65).
+        raise EpubConversionError(str(e)) from e
+
+
+def _epub_file_to_spans(path, spans, offset):
     with zipfile.ZipFile(path) as zf:
         container = ElementTree.fromstring(zf.read("META-INF/container.xml"))
         rootfile = container.find(".//c:rootfile", _CONTAINER_NS).get("full-path")
@@ -117,8 +132,13 @@ def docx_file_to_spans(path: str | Path) -> List[InSpan]:
     docx_text_extractor.py:25-27)."""
     spans: List[InSpan] = []
     offset = 0
-    with zipfile.ZipFile(path) as zf:
-        document = ElementTree.fromstring(zf.read("word/document.xml"))
+    try:
+        with zipfile.ZipFile(path) as zf:
+            document = ElementTree.fromstring(zf.read("word/document.xml"))
+    except (OSError, ValueError, zipfile.BadZipFile, KeyError, ElementTree.ParseError) as e:
+        # Reference: OSError/ValueError/Xmlchemy → DocxConversionError
+        # (docx_converter.py:47-59).
+        raise DocxConversionError(str(e)) from e
     body = document.find(f"{{{_W_NS}}}body")
     if body is None:
         return spans
@@ -140,7 +160,11 @@ def docx_file_to_spans(path: str | Path) -> List[InSpan]:
 
 def txt_file_to_spans(path: str | Path) -> List[InSpan]:
     """TXT → one ``line`` span per line (text_parser.py:15-21)."""
-    content = Path(path).read_text(encoding="utf-8")
+    try:
+        content = Path(path).read_text(encoding="utf-8")
+    except (OSError, UnicodeDecodeError) as e:
+        # Reference: read errors → TextConversionError (text_parser.py:15-21).
+        raise TextConversionError(str(e)) from e
     return [("line", line, "", i) for i, line in enumerate(content.splitlines())]
 
 
@@ -170,17 +194,24 @@ def pdf_file_to_spans(path: str | Path) -> List[InSpan]:
                 return classify(child)
         return None
 
+    from pdfminer.pdfparser import PDFSyntaxError  # pragma: no cover
+
     spans: List[InSpan] = []  # pragma: no cover
     offset = 0
-    for page_index, page in enumerate(extract_pages(path, maxpages=25)):
-        if page_index:
-            spans.append(("page_break", "", "", offset))
-            offset += 1
-        for element in page:
-            row = classify(element)
-            if row is not None:
-                spans.append((row[0], row[1], row[2], offset))
+    try:  # pragma: no cover
+        for page_index, page in enumerate(extract_pages(path, maxpages=25)):
+            if page_index:
+                spans.append(("page_break", "", "", offset))
                 offset += 1
+            for element in page:
+                row = classify(element)
+                if row is not None:
+                    spans.append((row[0], row[1], row[2], offset))
+                    offset += 1
+    except (OSError, PDFSyntaxError) as e:  # pragma: no cover
+        # Reference: PDFSyntaxError/OSError → PDFConversionError
+        # (pdf_converter.py:45-59).
+        raise PDFConversionError(str(e)) from e
     return spans
 
 
@@ -220,6 +251,112 @@ def convert_file_to_text(
     if status != "ok":
         raise RuntimeError(f"extraction failed: {status}")
     return "".join(text for _, text, _, _ in out)
+
+
+# ---------------------------------------------------------------------------
+# Reference generator-API parity: convert_epub/docx/pdf/txt yield the exact
+# block strings the reference's per-format ``parse_file`` generators yield
+# (epub_conversion/__init__.py:22-39, docx_conversion/__init__.py:25-42,
+# pdf_conversion/__init__.py:33-51, text_parser.py:23-37), and
+# ``convert_file`` reproduces both the string mode and the append-sink save
+# mode (convert_file.py:49-80) including the filename mangle (P9,
+# convert_file.py:39-46) and each format's write rule (K1).
+# ---------------------------------------------------------------------------
+
+#: Per-format (chapter_separator, write_rule). write rules (K1):
+#: epub prepends the separator to EVERY block (epub_converter.py:155);
+#: docx/txt append a trailing newline (docx_converter.py:124,
+#: text_parser.py:70); pdf writes the block verbatim and skips blank blocks
+#: (pdf_converter.py:198-202). First write to a fresh file lstrips the
+#: separator CHAR-CLASS from the block (each _clean_before_write).
+_WRITE_RULES = {
+    "epub": ("\n***\n", "prepend_sep"),
+    "docx": ("***", "append_nl"),
+    "pdf": ("***\n", "verbatim_skip_blank"),
+    "txt": ("***", "append_nl"),
+}
+
+
+def _blocks_for(fmt: str, spans: List[InSpan], metadata: Optional[dict]) -> List[str]:
+    from ebook_conversion_to_text_for_machine_learning_spark.core.chapter import (
+        default_metadata,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.core.formats import (
+        blocks_docx,
+        blocks_epub,
+        blocks_pdf,
+        blocks_txt,
+    )
+
+    metadata = metadata or {}
+    title, author = default_metadata(metadata.get("title"), metadata.get("author"))
+    rows = [(k, t, r) for k, t, r, _ in spans]
+    fns = {"epub": blocks_epub, "docx": blocks_docx, "pdf": blocks_pdf, "txt": blocks_txt}
+    return fns[fmt](rows, title, author)
+
+
+def convert_epub(path: str | Path, metadata: Optional[dict] = None) -> Iterator[str]:
+    """Generator parity with the reference's ``convert_epub``."""
+    yield from _blocks_for("epub", epub_file_to_spans(path), metadata)
+
+
+def convert_docx(path: str | Path, metadata: Optional[dict] = None) -> Iterator[str]:
+    """Generator parity with the reference's ``convert_docx``."""
+    yield from _blocks_for("docx", docx_file_to_spans(path), metadata)
+
+
+def convert_pdf(path: str | Path, metadata: Optional[dict] = None) -> Iterator[str]:
+    """Generator parity with the reference's ``convert_pdf``."""
+    yield from _blocks_for("pdf", pdf_file_to_spans(path), metadata)
+
+
+def convert_txt(path: str | Path, metadata: Optional[dict] = None) -> Iterator[str]:
+    """Generator parity with the reference's TXT ``parse_file``."""
+    yield from _blocks_for("txt", txt_file_to_spans(path), metadata)
+
+
+def parse_output_path(file_path: str | Path) -> Path:
+    """P9 filename mangle (convert_file.py:39-46): stem spaces/``-``/``.``
+    become ``_``; suffix becomes ``.txt``."""
+    p = Path(file_path)
+    stem = p.stem.replace(" ", "_").replace("-", "_").replace(".", "_")
+    return (p.parent / stem).with_suffix(".txt")
+
+
+def _write_block(fmt: str, content: str, output_path: Path) -> None:
+    sep, rule = _WRITE_RULES[fmt]
+    if rule == "verbatim_skip_blank" and not content.strip():
+        return
+    if not output_path.exists():
+        content = content.lstrip(sep)  # char-class strip, reference quirk
+    if rule == "prepend_sep":
+        payload = sep + content
+    elif rule == "append_nl":
+        payload = content + "\n"
+    else:
+        payload = content
+    with output_path.open("a", encoding="utf-8") as f:
+        f.write(payload)
+
+
+def convert_file(
+    path: str | Path,
+    metadata: Optional[dict] = None,
+    *,
+    save_file: bool = True,
+    save_path: str | Path | None = None,
+) -> str | None:
+    """Full parity with the reference's primary ``convert_file`` entry point:
+    string mode returns the reduced text; save mode appends each non-empty
+    block to the (mangled) output path per the format's write rule."""
+    fmt, spans = file_to_spans(path)
+    if not save_file:
+        return convert_file_to_text(path, metadata)
+    out = Path(save_path) if save_path is not None else parse_output_path(path)
+    for content in _blocks_for(fmt, spans, metadata):
+        if content:  # `if content:` driver-loop guard (convert_file.py:77-78)
+            _write_block(fmt, content, out)
+    return None
 
 
 def bytes_to_spans(filename: str, data: bytes) -> Tuple[str, List[InSpan]]:

@@ -196,3 +196,130 @@ def test_ingest_files_into_spark(spark, tmp_path):
     out = extract_spans(df).collect()
     assert len(out) == 1
     assert "".join(s.text for s in out[0].spans) == "\nHello there."
+
+
+def test_convert_epub_generator_and_return_string_invariant(tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+        convert_epub,
+    )
+
+    lorem_ps = "".join(f"<p>{p}</p>" for p in fx.LOREM)
+    _write_epub(
+        tmp_path / "book.epub",
+        [
+            ("Text/Section0004.xhtml", "<p>Chapter One</p><p>First chapter paragraph text.</p>"),
+            ("Text/Section0005.xhtml", f"<p>Chapter 2</p>{lorem_ps}"),
+        ],
+    )
+    blocks = list(convert_epub(tmp_path / "book.epub", METADATA))
+    assert blocks[0] == "First chapter paragraph text."
+    # epub return_string = separator.join(generator) (epub_converter.py:157-168)
+    assert "\n***\n".join(blocks) == convert_file_to_text(tmp_path / "book.epub", METADATA)
+
+
+def test_convert_docx_generator_page_granularity(tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+        convert_docx,
+    )
+
+    paragraphs = (
+        [(fx.TITLE, False, None)]
+        + [("Chapter 1", True, None), ("First chapter paragraph text.", False, None)]
+        + [(fx.LOREM[0], True, None), (fx.LOREM[1], False, None)]
+    )
+    _write_docx(tmp_path / "book.docx", paragraphs)
+    blocks = list(convert_docx(tmp_path / "book.docx", METADATA))
+    # One yield per non-empty page (docx_converter.py:61-91).
+    assert blocks == [
+        "***\nFirst chapter paragraph text.",
+        f"{fx.LOREM[0]}\n{fx.LOREM[1]}",
+    ]
+    # docx return_string: "\n".join(non-blank) + lstrip (docx_converter.py:126-139)
+    joined = "\n".join(b for b in blocks if b.strip()).lstrip("***")
+    assert joined == convert_file_to_text(tmp_path / "book.docx", METADATA)
+
+
+def test_convert_txt_generator_yields_every_line(tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+        convert_txt,
+    )
+
+    f = tmp_path / "book.txt"
+    f.write_text("Chapter 1\nIt was a dark night.\n\nThe end.", encoding="utf-8")
+    blocks = list(convert_txt(f, METADATA))
+    # Blank lines yield empty strings (text_parser.py:23-37 yields every line).
+    assert blocks == ["***", "It was a dark night.", "", "The end."]
+    joined = "\n".join(b for b in blocks if b.strip()).lstrip("***")
+    assert joined == convert_file_to_text(f, METADATA)
+
+
+def test_convert_file_save_mode_epub_write_rule(tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+        convert_file,
+    )
+
+    _write_epub(
+        tmp_path / "book.epub",
+        [
+            ("Text/a.xhtml", "<p>Chapter One</p><p>First chapter paragraph text.</p>"),
+            ("Text/b.xhtml", "<p>Chapter 2</p><p>Second chapter text.</p>"),
+        ],
+    )
+    out = tmp_path / "out.txt"
+    assert convert_file(tmp_path / "book.epub", METADATA, save_path=out) is None
+    # EPUB write rule: every block is prepended with the separator
+    # (epub_converter.py:155), so the file starts with "\n***\n".
+    assert out.read_text(encoding="utf-8") == (
+        "\n***\nFirst chapter paragraph text.\n***\nSecond chapter text."
+    )
+
+
+def test_convert_file_save_mode_txt_and_mangle(tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+        convert_file,
+        parse_output_path,
+    )
+
+    assert parse_output_path("/x/My Book v1.2-final.epub").name == "My_Book_v1_2_final.txt"
+
+    f = tmp_path / "plain book.txt"
+    f.write_text("Chapter 1\nIt was a dark night.\n\nThe end.", encoding="utf-8")
+    convert_file(f, METADATA)  # default save_path = mangled sibling
+    out = tmp_path / "plain_book.txt"
+    # Reference quirk preserved: the leading "***" block is stripped to ""
+    # by _clean_before_write, but TXT write_text still appends its "\n"
+    # (text_parser.py:60-70 has no blank-skip), so the file starts blank.
+    assert out.read_text(encoding="utf-8") == "\nIt was a dark night.\nThe end.\n"
+
+
+def test_compat_exceptions_and_exports(tmp_path):
+    import ebook_conversion_to_text_for_machine_learning_spark as pkg
+
+    # Corrupt inputs raise the reference's exception types.
+    bad = tmp_path / "bad.epub"
+    bad.write_bytes(b"not a zip")
+    with pytest.raises(pkg.EpubConversionError):
+        epub_file_to_spans(bad)
+    bad_docx = tmp_path / "bad.docx"
+    bad_docx.write_bytes(b"also not a zip")
+    with pytest.raises(pkg.DocxConversionError):
+        docx_file_to_spans(bad_docx)
+    with pytest.raises(pkg.TextConversionError):
+        txt_file_to_spans(tmp_path / "missing.txt")
+    assert issubclass(pkg.EpubConversionError, pkg.EbookConversionError)
+
+    # Top-level callables resolve lazily (reference __init__ exports).
+    assert callable(pkg.convert_file) and callable(pkg.convert_epub)
+
+    # Swappable logger proxy (reference _logger.py).
+    class _Probe:
+        def __init__(self):
+            self.messages = []
+
+        def error(self, msg):
+            self.messages.append(msg)
+
+    probe = _Probe()
+    pkg.set_logger(probe)
+    pkg.logger.error("hello")
+    assert probe.messages == ["hello"]
