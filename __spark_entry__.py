@@ -230,6 +230,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extract_random_corpus"] = extract_random_corpus  # rows-only (state machines)
 
+    def training_data_prep(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
+            prepare_training_data,
+        )
+
+        return prepare_training_data(documents_as_txt_spans(spark, sf_dir))
+
+    q["training_data_prep"] = training_data_prep
+
     # --- scalar text ops (P1-P7) ----------------------------------------
     def fold_smart_punct(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
@@ -604,6 +613,48 @@ SELECT doc_id,
   CAST(CASE WHEN ltrim(CASE WHEN {_SQL_PYSTRIP.format(col="cleaned")} = '' THEN '' ELSE cleaned END, '*') = ''
             THEN 0 ELSE 1 END AS BIGINT) AS n_spans
 FROM line"""
+
+    _ext_expr = (
+        "ltrim(CASE WHEN "
+        + _SQL_PYSTRIP.format(col="cleaned")
+        + " = '' THEN '' ELSE cleaned END, '*')"
+    )
+    _toks_ext = _SQL_TOKENS.format(col="extracted_text")
+    o["training_data_prep"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         {_SQL_PYSTRIP.format(col="text")} AS trimmed
+  FROM documents
+), cls AS (
+  SELECT doc_id, text,
+    (lower(trimmed) LIKE 'chapter%'
+     OR (strpos(trimmed, ' ') = 0 AND regexp_matches(trimmed, '^[0-9]+$'))) AS is_chap
+  FROM base
+), line AS (
+  SELECT doc_id,
+    CASE WHEN is_chap THEN '***'
+         ELSE {_SQL_COLLAPSE.format(col=_SQL_DESMARTEN.format(col="text"))} END AS cleaned
+  FROM cls
+), ext AS (
+  SELECT doc_id, {_ext_expr} AS extracted_text FROM line
+), toks_t AS (
+  SELECT doc_id, extracted_text, {_toks_ext} AS toks
+  FROM ext WHERE length(extracted_text) > 0
+), nz AS (SELECT * FROM toks_t WHERE len(toks) > 0),
+q AS (
+  SELECT doc_id, extracted_text,
+    floor((0.4 * least(1.0, len(toks)::DOUBLE / 50.0)
+         + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+         + 0.3 * (len(list_filter(toks, x -> list_contains({_STOPWORD_SQL_LIST}, lower(x))))::DOUBLE
+                  / len(toks)::DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS quality_score
+  FROM nz),
+f AS (SELECT * FROM q WHERE quality_score >= 0.5)
+SELECT md5(extracted_text) AS text_hash,
+       min(doc_id) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(quality_score) AS quality_score,
+       min(extracted_text) AS extracted_text
+FROM f GROUP BY 1"""
 
     decorated = "text || ' — “q”… ‘x’ •'"
     o["fold_smart_punct"] = (

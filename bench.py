@@ -63,6 +63,7 @@ def main() -> None:
     queries = entrymod.queries()
     for name in (
         "extract_documents_txt",
+        "training_data_prep",
         "exact_dedup",
         "minhash_signatures",
         "minhash_candidates",

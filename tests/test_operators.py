@@ -271,3 +271,29 @@ def test_ivf_assign_arrow_matches_expression_path(spark):
     # everywhere — any systematic divergence would break far more than a tie.
     disagree = [k for k in expr if expr[k] != fast[k]]
     assert len(disagree) <= 2, disagree
+
+
+def test_prepare_training_data_filters_and_dedups(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
+        prepare_training_data,
+    )
+    from tests.conftest import spans_df
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and the miller waits "
+        "for the grain in the old mill by the stone bridge near the river"
+    )
+    docs = [
+        {"doc_id": "a", "fmt": "txt", "title": None, "author": None,
+         "spans": [("line", good, "", 0)]},
+        {"doc_id": "b", "fmt": "txt", "title": None, "author": None,
+         "spans": [("line", good, "", 0)]},  # exact duplicate of a
+        {"doc_id": "c", "fmt": "txt", "title": None, "author": None,
+         "spans": [("line", "x x x x", "", 0)]},  # low quality
+        {"doc_id": "d", "fmt": "txt", "title": None, "author": None,
+         "spans": [("line", "Chapter 1", "", 0)]},  # extracts to '' (lstrip)
+    ]
+    out = {r.keeper_doc_id: r for r in prepare_training_data(spans_df(spark, docs)).collect()}
+    assert set(out) == {"a"}  # dup collapsed onto first keeper; c, d filtered
+    assert out["a"].n_copies == 2
+    assert out["a"].quality_score >= 0.5
