@@ -141,3 +141,32 @@ def test_arrow_eval_plan_no_rowwise_python(spark):
     # Column pruning must reach the parquet scan: only the adapter's two
     # source columns are read, not the whole documents table.
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_null_span_fields_are_tolerated(spark):
+    """Lake-scale reality: null text/media_ref/kind inside span structs must
+    not poison a task — nulls coerce to '' at the Arrow boundary and unknown
+    kinds are ignored, status stays ok."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        INPUT_SCHEMA,
+        extract_spans,
+    )
+
+    docs = [
+        ("n1", "txt", None, None, [
+            {"kind": "line", "text": None, "media_ref": None, "offset": 0},
+            {"kind": "line", "text": "Real.", "media_ref": "", "offset": 1},
+        ]),
+        ("n2", "epub", None, None, [
+            {"kind": "section", "text": None, "media_ref": "", "offset": 0},
+            {"kind": "p", "text": "Chapter 1", "media_ref": "", "offset": 1},
+            {"kind": "p", "text": "Body.", "media_ref": None, "offset": 2},
+        ]),
+        ("n3", "pdf", None, None, [{"kind": None, "text": "x", "media_ref": "", "offset": 0}]),
+    ]
+    df = spark.createDataFrame(docs, schema=INPUT_SCHEMA)
+    out = {r.doc_id: r for r in extract_spans(df).collect()}
+    assert all(r.status == "ok" for r in out.values())
+    assert [(s.kind, s.text) for s in out["n1"].spans] == [("text", "Real.")]
+    assert [(s.kind, s.text) for s in out["n2"].spans] == [("text", "Body.")]
+    assert out["n3"].spans == []
