@@ -85,7 +85,9 @@ def _extract_arrow_batches(batches):
     same way — roughly 3× less (de)serialization than the pandas path for
     this span-heavy schema.
     """
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     out_span_type = pa.list_(
         pa.struct(
@@ -109,10 +111,20 @@ def _extract_arrow_batches(batches):
             spans_col = spans_col.combine_chunks()
         list_offsets = spans_col.offsets.to_pylist()
         flat = spans_col.flatten()
-        kinds = flat.field("kind").to_pylist()
-        texts = flat.field("text").to_pylist()
-        refs = flat.field("media_ref").to_pylist()
-        offs = flat.field("offset").to_pylist()
+        # Null→'' happens vectorized in Arrow so row construction below is a
+        # bare zip of slices (no per-element branch).
+        kinds = pc.fill_null(flat.field("kind"), "").to_pylist()
+        texts = pc.fill_null(flat.field("text"), "").to_pylist()
+        refs = pc.fill_null(flat.field("media_ref"), "").to_pylist()
+        offs = pc.fill_null(flat.field("offset"), 0).to_numpy(zero_copy_only=False)
+        # Out-of-order detection for the whole batch in one vectorized pass:
+        # doc i needs a sort iff any adjacent decrease falls inside its slice.
+        if len(offs) > 1:
+            dec_prefix = np.concatenate(
+                ([0], np.cumsum(np.diff(offs) < 0, dtype=np.int64))
+            )
+        else:
+            dec_prefix = np.zeros(max(len(offs), 1), dtype=np.int64)
 
         out_kinds: list = []
         out_texts: list = []
@@ -125,13 +137,9 @@ def _extract_arrow_batches(batches):
         base = list_offsets[0]
         for i in range(len(doc_ids)):
             lo, hi = list_offsets[i] - base, list_offsets[i + 1] - base
-            rows = [
-                (kinds[j], texts[j] or "", refs[j] or "")
-                for j in range(lo, hi)
-            ]
-            doc_offs = offs[lo:hi]
-            if any(doc_offs[j] > doc_offs[j + 1] for j in range(len(doc_offs) - 1)):
-                order = sorted(range(len(rows)), key=doc_offs.__getitem__)
+            rows = list(zip(kinds[lo:hi], texts[lo:hi], refs[lo:hi]))
+            if hi - lo > 1 and dec_prefix[hi - 1] - dec_prefix[lo] > 0:
+                order = np.argsort(offs[lo:hi], kind="stable")
                 rows = [rows[j] for j in order]
             result, status = extract_document(fmts[i], rows, titles[i], authors[i])
             n_media = 0
