@@ -148,12 +148,17 @@ def is_chapter_heading(text: str) -> bool:
     whitespace-separated token that is a number (F5).
     Reference: chapter_check.py:201-212 (``is_chapter``).
     """
-    lowered = text.lower().strip()
-    if lowered.startswith("chapter"):
+    # str.lower maps per character (lower(a+b) == lower(a)+lower(b)), so
+    # lowering only the 7-char prefix decides the startswith test without
+    # allocating a lowered copy of a whole paragraph. strip-then-lower ==
+    # lower-then-strip (case mappings never touch whitespace).
+    stripped = text.strip()
+    if stripped[:7].lower().startswith("chapter"):
         return True
     # maxsplit=1 bounds the scan: a long paragraph exits at its first
     # whitespace instead of being tokenized end-to-end just to be counted.
-    return len(lowered.split(None, 1)) == 1 and is_number_token(lowered)
+    parts = stripped.split(None, 1)
+    return len(parts) == 1 and is_number_token(parts[0].lower())
 
 
 import re as _re
@@ -162,6 +167,7 @@ import re as _re
 #: 43 ``startswith`` calls per paragraph (this predicate runs on every line
 #: of every document; it dominated the fold profile before compiling).
 _BOILER_RE = _re.compile("|".join(sorted(BOILERPLATE_PREFIXES, key=len, reverse=True)))
+_MAX_BOILER_LEN = max(len(p) for p in BOILERPLATE_PREFIXES)
 
 
 def is_boilerplate(paragraph: str, title: str, author: str) -> bool:
@@ -172,10 +178,15 @@ def is_boilerplate(paragraph: str, title: str, author: str) -> bool:
     Reference: chapter_check.py:215-227 (``is_not_chapter``); callers pass
     the already-defaulted title/author (chapter_check.py:219-220).
     """
-    lowered = paragraph.lower()
-    if _BOILER_RE.match(lowered):
+    # Prefix-only lowering (lower distributes over concatenation): the
+    # anchored alternation can only match within the first _MAX_BOILER_LEN
+    # chars, and the title/author tests within max(len) chars — no need to
+    # allocate a lowered copy of the full paragraph per line.
+    if _BOILER_RE.match(paragraph[:_MAX_BOILER_LEN].lower()):
         return True
-    return lowered.startswith(title.lower()) or lowered.startswith(author.lower())
+    t, a = title.lower(), author.lower()
+    head = paragraph[: max(len(t), len(a))].lower()
+    return head.startswith(t) or head.startswith(a)
 
 
 def is_pdf_header(line: str, title: str, author: str) -> bool:
