@@ -18,6 +18,7 @@ documents stays within executor memory.
 
 from __future__ import annotations
 
+from time import perf_counter_ns
 from typing import Iterator
 
 import pandas as pd
@@ -26,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -72,6 +74,11 @@ EXTRACTED_SCHEMA = StructType(
         StructField("n_spans", IntegerType(), False),
         StructField("n_media", IntegerType(), False),
         StructField("status", StringType(), False),
+        # Per-document fold CPU time — summed per partition into lineage so
+        # skew is observable in TIME, not just document counts (a partition
+        # of 25-page PDFs and one of tweets have very different costs at
+        # equal doc_count). ~100ns of perf_counter overhead per document.
+        StructField("elapsed_us", LongType(), False),
     ]
 )
 
@@ -134,6 +141,7 @@ def _extract_arrow_batches(batches):
         n_spans_col = []
         n_media_col = []
         status_col = []
+        elapsed_col = []
         base = list_offsets[0]
         for i in range(len(doc_ids)):
             lo, hi = list_offsets[i] - base, list_offsets[i + 1] - base
@@ -141,7 +149,9 @@ def _extract_arrow_batches(batches):
             if hi - lo > 1 and dec_prefix[hi - 1] - dec_prefix[lo] > 0:
                 order = np.argsort(offs[lo:hi], kind="stable")
                 rows = [rows[j] for j in order]
+            t_doc = perf_counter_ns()
             result, status = extract_document(fmts[i], rows, titles[i], authors[i])
+            elapsed_col.append((perf_counter_ns() - t_doc) // 1000)
             n_media = 0
             for k, t, r, o in result:
                 out_kinds.append(k)
@@ -175,8 +185,9 @@ def _extract_arrow_batches(batches):
                 pa.array(n_spans_col, type=pa.int32()),
                 pa.array(n_media_col, type=pa.int32()),
                 pa.array(status_col, type=pa.string()),
+                pa.array(elapsed_col, type=pa.int64()),
             ],
-            names=["doc_id", "fmt", "spans", "n_spans", "n_media", "status"],
+            names=["doc_id", "fmt", "spans", "n_spans", "n_media", "status", "elapsed_us"],
         )
 
 

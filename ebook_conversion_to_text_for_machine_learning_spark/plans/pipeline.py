@@ -90,6 +90,9 @@ def run_extraction_job(
             .agg(
                 F.count("*").alias("doc_count"),
                 F.sum("n_spans").alias("span_count"),
+                # Fold CPU time per partition — the skew signal that matters
+                # (doc_count alone hides a partition of giant PDFs).
+                F.sum("elapsed_us").alias("cpu_us"),
             )
             .withColumn("status", F.lit("committed"))
             .withColumn("run_id", F.lit(run_id))

@@ -107,6 +107,17 @@ def test_pipeline_with_lineage_and_resume(spark, tmp_path):
     assert sum(m["docs"] for m in summary3["metrics"]) == 10
     assert spark.read.parquet(out).count() == 40
 
+    # Per-partition lineage carries doc/span counts AND fold CPU time —
+    # the skew signal the SURVEY risk register calls for.
+    parts = spark.read.parquet(lineage + "_partitions")
+    assert {"partition_id", "doc_count", "span_count", "cpu_us", "status", "run_id"} <= set(
+        parts.columns
+    )
+    from pyspark.sql import functions as F
+
+    row = parts.orderBy(F.desc("doc_count")).first()
+    assert row.doc_count > 0 and row.cpu_us > 0
+
 
 def test_documents_adapter_smoke(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
