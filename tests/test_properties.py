@@ -93,3 +93,38 @@ def test_spelled_compound_roundtrip(tens, ones):
     }
     assert parse_spelled_number(f"{tens}-{ones}") == values[tens] + values[ones]
     assert parse_spelled_number(f"{tens} {ones}") == values[tens] + values[ones]
+
+
+_fuzz_kind = st.sampled_from(
+    ["line", "para", "img", "page_break", "section", "p", "h1", "weird", ""]
+)
+_fuzz_text = st.text(max_size=40)  # arbitrary unicode incl. controls/surrogate-adjacent
+_fuzz_span = st.tuples(_fuzz_kind, _fuzz_text, st.text(max_size=8))
+_fuzz_fmt = st.sampled_from(["txt", "epub", "docx", "pdf", "text", "mobi", ""])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    fmt=_fuzz_fmt,
+    spans=st.lists(_fuzz_span, max_size=30),
+    title=st.one_of(st.none(), _fuzz_text),
+    author=st.one_of(st.none(), _fuzz_text),
+)
+def test_extract_document_total_on_arbitrary_spans(fmt, spans, title, author):
+    """Totality fuzz: any unicode garbage through any format fold must
+    return a well-formed result — never an unhandled exception, output
+    spans always (kind, text, media_ref, contiguous order), and a
+    quarantine status only for unknown formats."""
+    from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
+        extract_document,
+    )
+
+    out, status = extract_document(fmt, spans, title, author)
+    if fmt in ("txt", "text", "epub", "docx", "pdf"):
+        assert status == "ok", (fmt, spans, status)
+    else:
+        assert status == "unknown_format" and out == []
+    assert [o for _, _, _, o in out] == list(range(len(out)))
+    for kind, text, ref, _ in out:
+        assert kind in ("text", "chapter_break", "media_ref")
+        assert isinstance(text, str) and isinstance(ref, str)
