@@ -177,3 +177,35 @@ def test_randomized_corpus_runs_clean():
         assert [o for _, _, _, o in out] == list(range(len(out)))
         if out:
             assert out[0][0] != "chapter_break"
+
+
+def test_blocks_pdf_yields_every_page_including_blanks():
+    """Generator parity: the reference's PDF parse_file yields one string
+    per page, blank pages included (pdf_converter.py:154-167); the string
+    reduce later drops blanks. blocks_pdf must preserve that granularity."""
+    from ebook_conversion_to_text_for_machine_learning_spark.core.formats import (
+        blocks_pdf,
+        extract_pdf,
+    )
+
+    spans = [
+        ("line", "Chapter 1", ""),
+        ("line", "First page text.", ""),
+        ("page_break", "", ""),
+        # blank page: only an empty line
+        ("line", "   ", ""),
+        ("page_break", "", ""),
+        ("line", "Chapter 2", ""),
+        ("line", "Second page text.", ""),
+    ]
+    blocks = blocks_pdf(spans, "T", "A")
+    assert len(blocks) == 3  # every page yields, blank included
+    # (UNINIT,CHAPTER)->FIRST_LINE then the prev=CHAPTER,cur=LINE special
+    # case inserts the separator (pdf_line_logic.py:67-72).
+    assert blocks[0] == "***\nFirst page text.\n"
+    assert blocks[1] == ""
+    assert blocks[2] == "***\nSecond page text.\n"
+    # Span path == reference return_string: non-blank join + lstrip("***\n").
+    out = extract_pdf(spans, "T", "A")
+    reduced = "".join(b for b in blocks if b.strip()).lstrip("*\n")
+    assert "".join(t for _, t, _, _ in out) == reduced
