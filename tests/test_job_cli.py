@@ -42,3 +42,56 @@ def test_job_cli_end_to_end(spark, tmp_path):
     for row in out.collect():
         got = [(s.kind, s.text, s.media_ref, s.order) for s in row.spans]
         assert got == expected[row.doc_id], row.doc_id
+
+
+def test_spark_submit_with_py_files_zip(spark, tmp_path):
+    """The north-rule shipping path, for real: package the engine with
+    scripts/package.py, then run the job through actual spark-submit with
+    --py-files from a cwd OUTSIDE the repo, so every import resolves from
+    the zip artifact exactly as it would on a cluster."""
+    import os
+    import subprocess
+    import sys
+
+    from tests import fixtures as fx
+    from tests.conftest import spans_df
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import package as packager
+
+    zip_path = str(tmp_path / "engine.zip")
+    packager.build(zip_path)
+
+    docs = [doc for doc, _ in fx.GOLDEN_DOCS]
+    in_dir = str(tmp_path / "in")
+    spans_df(spark, docs).write.parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+
+    env = dict(os.environ, PYTHONPATH="")
+    result = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(
+                repo,
+                "ebook_conversion_to_text_for_machine_learning_spark/plans/job.py",
+            ),
+            "--input", in_dir,
+            "--output", out_dir,
+            "--lineage", str(tmp_path / "lineage"),
+            "--metrics", str(tmp_path / "metrics"),
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert spark.read.parquet(out_dir).count() == len(docs)
+    parts = spark.read.parquet(str(tmp_path / "lineage") + "_partitions")
+    assert parts.count() > 0
