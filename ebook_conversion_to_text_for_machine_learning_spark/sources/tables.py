@@ -60,3 +60,39 @@ def documents_as_txt_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("author"),
         spans.alias("spans"),
     )
+
+
+def read_spans_source(
+    spark: SparkSession, path: str, *, source_format: str = "parquet"
+) -> DataFrame:
+    """Read a documents_spans table from parquet, JSON-lines, or CSV.
+
+    Parquet/Iceberg is the production layout; JSON-lines covers raw
+    crawl-style drops (spans as nested objects); CSV covers flat exports
+    where ``spans`` arrives as a JSON string column and is parsed JVM-side
+    with ``from_json`` — no Python in any path. All three return the exact
+    INPUT_SCHEMA contract so the extraction operator is source-agnostic.
+    """
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        INPUT_SCHEMA,
+    )
+
+    if source_format == "parquet":
+        df = spark.read.parquet(path)
+    elif source_format == "json":
+        df = spark.read.schema(INPUT_SCHEMA).json(path)
+    elif source_format == "csv":
+        raw = spark.read.option("header", True).option("multiLine", True).option(
+            "escape", '"'
+        ).csv(path)
+        span_type = INPUT_SCHEMA["spans"].dataType
+        df = raw.select(
+            "doc_id",
+            "fmt",
+            "title",
+            "author",
+            F.from_json(F.col("spans"), span_type).alias("spans"),
+        )
+    else:
+        raise ValueError(f"Unsupported source format: {source_format}")
+    return df.select("doc_id", "fmt", "title", "author", "spans")

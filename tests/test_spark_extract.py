@@ -181,3 +181,61 @@ def test_null_span_fields_are_tolerated(spark):
     assert [(s.kind, s.text) for s in out["n1"].spans] == [("text", "Real.")]
     assert [(s.kind, s.text) for s in out["n2"].spans] == [("text", "Body.")]
     assert out["n3"].spans == []
+
+
+def test_read_spans_source_json_and_csv_roundtrip(spark, tmp_path):
+    """The spans contract reads identically from parquet, JSON-lines, and
+    CSV-with-JSON-spans — extraction output matches across all three."""
+    import json as jsonlib
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.tables import (
+        read_spans_source,
+    )
+
+    docs = [doc for doc, _ in fx.GOLDEN_DOCS]
+    base = spans_df(spark, docs)
+    pq = str(tmp_path / "pq")
+    base.write.parquet(pq)
+
+    js = tmp_path / "js"
+    js.mkdir()
+    with open(js / "part.json", "w") as f:
+        for d in docs:
+            f.write(jsonlib.dumps({
+                "doc_id": d["doc_id"], "fmt": d["fmt"],
+                "title": d["title"], "author": d["author"],
+                "spans": [
+                    {"kind": k, "text": t, "media_ref": r, "offset": o}
+                    for k, t, r, o in d["spans"]
+                ],
+            }) + "\n")
+
+    import csv as csvlib
+    cs = tmp_path / "cs"
+    cs.mkdir()
+    with open(cs / "part.csv", "w", newline="") as f:
+        w = csvlib.writer(f)
+        w.writerow(["doc_id", "fmt", "title", "author", "spans"])
+        for d in docs:
+            w.writerow([
+                d["doc_id"], d["fmt"], d["title"], d["author"],
+                jsonlib.dumps([
+                    {"kind": k, "text": t, "media_ref": r, "offset": o}
+                    for k, t, r, o in d["spans"]
+                ]),
+            ])
+
+    def extract_map(df):
+        return {
+            r.doc_id: [(s.kind, s.text, s.media_ref, s.order) for s in r.spans]
+            for r in extract_spans(df).collect()
+        }
+
+    from_pq = extract_map(read_spans_source(spark, pq))
+    from_js = extract_map(read_spans_source(spark, str(js), source_format="json"))
+    from_cs = extract_map(read_spans_source(spark, str(cs), source_format="csv"))
+    assert from_pq == from_js == from_cs
+    assert len(from_pq) == len(docs)
