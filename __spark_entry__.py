@@ -48,6 +48,12 @@ from ebook_conversion_to_text_for_machine_learning_spark.testing import fixtures
 
 EMBED_DIM = 64
 
+#: Hamming radius for the simhash near-pair driver query. 64-bit signatures
+#: make radius 2 nearly empty on the synthetic corpus, so the driver query
+#: widens the radius to keep the oracle non-vacuous; production dedup runs
+#: the same plan at max_hamming 2-3.
+_SIMHASH_MAX_HAMMING = 7
+
 # ---------------------------------------------------------------------------
 # Shared expression builders (Spark side)
 # ---------------------------------------------------------------------------
@@ -125,6 +131,42 @@ def _golden_values_sql() -> str:
     )
 
 
+def _random_corpus_values_sql() -> str:
+    """Expected (fmt, status) aggregate for the seed-42 random corpus.
+
+    Computed by running the SAME pure-core fold (`core.extract
+    .extract_document`, no Spark, no Arrow) over the corpus the Spark query
+    processes — the oracle verifies the distributed wrapper (span ordering,
+    Arrow marshalling, n_spans/n_media accounting) against the sequential
+    reference implementation, the strongest check available for a fuzz
+    corpus with no literal golden.
+    """
+    from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
+        extract_document,
+    )
+
+    agg: dict[tuple[str, str], list[int]] = {}
+    for d in fx.random_corpus(300, seed=42):
+        ordered = sorted(d["spans"], key=lambda s: s[3])
+        rows = [(k, t, r) for k, t, r, _ in ordered]
+        out, status = extract_document(d["fmt"], rows, d["title"], d["author"])
+        n_media = sum(1 for k, _t, _r, _o in out if k == "media_ref")
+        ent = agg.setdefault((d["fmt"], status), [0, 0, 0])
+        ent[0] += 1
+        ent[1] += len(out)
+        ent[2] += n_media
+    values = ", ".join(
+        f"({_sql_quote(fmt)}, {_sql_quote(status)}, {n}, {spans}, {media})"
+        for (fmt, status), (n, spans, media) in sorted(agg.items())
+    )
+    return (
+        "SELECT fmt, status, CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(total_spans AS BIGINT) AS total_spans, "
+        "CAST(total_media AS BIGINT) AS total_media "
+        f"FROM (VALUES {values}) AS t(fmt, status, n_docs, total_spans, total_media)"
+    )
+
+
 def _sql_minhash_sig_cte() -> str:
     toks = _SQL_TOKENS.format(col="text")
     return f"""
@@ -154,6 +196,36 @@ def _sql_lsh_bucket(vec_expr: str) -> str:
         for p in planes
     ]
     return " || ".join(bits)
+
+
+#: Banded-LSH shape for the embedding_near_dup driver query: production
+#: defaults are S.N_BANDS × S.BAND_PLANES (4×16); the query narrows bands to
+#: 8 planes so the 500-vector synthetic corpus still produces candidates.
+_ND_BANDS = 4
+_ND_BAND_PLANES = 8
+
+#: IVF codebook size for the driver queries: production default is
+#: S.IVF_TARGET_CELLS (65536); the 500-vector synthetic corpus uses 10 so
+#: cells hold ~50 vectors each. The oracle derives the identical stride
+#: from count(*), mirroring ivf_centroids' constant-size-codebook rule.
+_IVF_TEST_CELLS = 10
+
+
+def _sql_banded_bucket_selects(vec_table: str) -> str:
+    """UNION ALL of one (vec_id, band_id, bucket) select per LSH band,
+    mirroring S.lsh_banded_signatures' shared-plane-sequence slicing."""
+    planes = S.hyperplanes(EMBED_DIM, _ND_BANDS * _ND_BAND_PLANES)
+    selects = []
+    for b in range(_ND_BANDS):
+        bits = [
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_sql_plane_literal(p)}) > 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes[b * _ND_BAND_PLANES : (b + 1) * _ND_BAND_PLANES]
+        ]
+        selects.append(
+            f"SELECT vec_id, {b} AS band_id, {' || '.join(bits)} AS bucket FROM {vec_table}"
+        )
+    return " UNION ALL ".join(selects)
 
 
 _SQL_COSINE = (
@@ -228,7 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    q["extract_random_corpus"] = extract_random_corpus  # rows-only (state machines)
+    q["extract_random_corpus"] = extract_random_corpus
 
     def training_data_prep(spark, sf_dir):
         from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
@@ -406,7 +478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_signatures"] = simhash_signatures
 
     def simhash_near_pairs(spark, sf_dir):
-        return D.simhash_near_pairs(read_table(spark, sf_dir, "documents"), max_hamming=2)
+        return D.simhash_near_pairs(
+            read_table(spark, sf_dir, "documents"), max_hamming=_SIMHASH_MAX_HAMMING
+        )
 
     q["simhash_near_pairs"] = simhash_near_pairs
 
@@ -435,7 +509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ivf_cells(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
-        out = S.ivf_assign(emb, S.ivf_centroids(emb))
+        # Expression-path parity twin of the Arrow assignment (same codebook,
+        # same ranking, oracle-identical fold order).
+        out = S.ivf_assign(emb, S.ivf_centroids(emb, target_cells=_IVF_TEST_CELLS))
         return out.select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.col("cell_id").cast("long").alias("cell_id"),
@@ -446,16 +522,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ivf_ann_topk(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
         probes = emb.where(F.col("vec_id") < 10)
-        out = S.ivf_ann_topk(emb, probes, k=5)
+        # Production path: Arrow matmul assigns the corpus side.
+        out = S.ivf_ann_topk(emb, probes, k=5, target_cells=_IVF_TEST_CELLS)
         return out.select("probe_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
     q["ivf_ann_topk"] = ivf_ann_topk
 
     def embedding_near_dup(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
-        # 0.25 is tuned to the synthetic corpus (no true near-dups exist in
-        # it); production near-dup removal runs the same plan at ~0.9.
-        return S.embedding_near_dup(emb, EMBED_DIM, threshold=0.25)
+        # 0.25 / 8-plane bands are tuned to the synthetic corpus (no true
+        # near-dups exist in it); production near-dup removal runs the same
+        # plan at ~0.9 with the 4×16 defaults.
+        return S.embedding_near_dup(
+            emb, EMBED_DIM, threshold=0.25,
+            n_bands=_ND_BANDS, band_planes=_ND_BAND_PLANES,
+        )
 
     q["embedding_near_dup"] = embedding_near_dup
 
@@ -591,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["extract_goldens"] = _golden_values_sql()
+    o["extract_random_corpus"] = _random_corpus_values_sql()
 
     o["extract_documents_txt"] = f"""
 WITH base AS (
@@ -770,41 +852,52 @@ SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
 FROM t l JOIN t r ON l.lang = r.lang AND l.doc_id < r.doc_id
 WHERE 2 * len(list_intersect(l.grams, r.grams)) >= len(list_distinct(list_concat(l.grams, r.grams)))"""
 
+    # 64-bit SimHash: bit j reads nibble j//2 of md5 (8-bit for even j,
+    # 4-bit for odd), mirroring D.simhash_vote; the signed value assembly
+    # mirrors D.simhash_value_col (bit 0 contributes -2^63).
     bit_sums = ",\n  ".join(
-        f"SUM(CASE WHEN strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) >= 9 THEN 1 ELSE -1 END) AS b{j}"
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, %d, 1)) - 1) & %d) != 0 "
+        "THEN 1 ELSE -1 END) AS b%d" % (j // 2 + 1, 8 if j % 2 == 0 else 4, j)
         for j in range(D.SIMHASH_BITS)
     )
     bit_value = " + ".join(
-        f"(CASE WHEN b{j} > 0 THEN {1 << (D.SIMHASH_BITS - 1 - j)} ELSE 0 END)"
-        for j in range(D.SIMHASH_BITS)
+        ["(CASE WHEN b0 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"]
+        + [
+            f"(CASE WHEN b{j} > 0 THEN CAST({1 << (D.SIMHASH_BITS - 1 - j)} AS BIGINT) ELSE 0 END)"
+            for j in range(1, D.SIMHASH_BITS)
+        ]
     )
-    o["simhash_signatures"] = f"""
-WITH t AS (SELECT doc_id, unnest(list_distinct({tokens_lower})) AS tok FROM documents),
+    _sig_ctes = f"""
+t AS (SELECT doc_id, unnest(list_distinct({tokens_lower})) AS tok FROM documents),
 h AS (SELECT doc_id, md5(tok) AS hx FROM t),
-s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
-SELECT doc_id, CAST({bit_value} AS INT) AS simhash FROM s"""
+s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+sig0 AS (SELECT doc_id, CAST({bit_value} AS BIGINT) AS simhash FROM s),
+sig AS (
+  SELECT d.doc_id, COALESCE(sig0.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig0 ON sig0.doc_id = d.doc_id)"""
 
-    n_blocks = 3  # max_hamming=2 → pigeonhole into 3 disjoint bit blocks
+    o["simhash_signatures"] = f"""
+WITH {_sig_ctes}
+SELECT doc_id, simhash FROM sig"""
+
+    n_blocks = _SIMHASH_MAX_HAMMING + 1  # pigeonhole: h flips hit ≤ h blocks
     width = D.SIMHASH_BITS // n_blocks
     block_rows = ", ".join(
         f"({b}, {b * width}, {D.SIMHASH_BITS - b * width if b == n_blocks - 1 else width})"
         for b in range(n_blocks)
     )
     o["simhash_near_pairs"] = f"""
-WITH t AS (SELECT doc_id, unnest(list_distinct({tokens_lower})) AS tok FROM documents),
-h AS (SELECT doc_id, md5(tok) AS hx FROM t),
-s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
-sig AS (SELECT doc_id, CAST({bit_value} AS INT) AS simhash FROM s),
+WITH {_sig_ctes},
 blocks(block_id, lo, w) AS (VALUES {block_rows}),
 banded AS (
   SELECT doc_id, simhash, block_id,
-         (simhash // (1 << lo)) % (1 << w) AS block_val
+         (simhash >> lo) & ((1::BIGINT << w) - 1) AS block_val
   FROM sig CROSS JOIN blocks)
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
   CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
 FROM banded l JOIN banded r
   ON l.block_id = r.block_id AND l.block_val = r.block_val AND l.doc_id < r.doc_id
-WHERE bit_count(xor(l.simhash, r.simhash)) <= 2"""
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {_SIMHASH_MAX_HAMMING}"""
 
     cosine = _SQL_COSINE.format(p="p.embedding", c="c.embedding")
     o["cosine_topk"] = f"""
@@ -832,7 +925,8 @@ ranked AS (
 SELECT probe_id, item_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
 
     ivf_assign_ctes = f"""
-cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % {S.IVF_STRIDE} = 0),
+cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+         WHERE vec_id % (SELECT greatest(1, count(*) // {_IVF_TEST_CELLS}) FROM embeddings) = 0),
 scored AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
          {_SQL_COSINE.format(p="e.embedding", c="c.cvec")} AS cos
@@ -863,26 +957,36 @@ ranked AS (
 SELECT probe_id, item_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
 
     o["embedding_near_dup"] = f"""
-WITH sigs AS (SELECT vec_id, embedding, {_sql_lsh_bucket("embedding")} AS bucket FROM embeddings)
-SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-       {_SQL_COSINE.format(p="l.embedding", c="r.embedding")} AS cosine
-FROM sigs l JOIN sigs r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-WHERE {_SQL_COSINE.format(p="l.embedding", c="r.embedding")} >= 0.25"""
+WITH banded AS ({_sql_banded_bucket_selects("embeddings")}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+SELECT c.vec_a, c.vec_b,
+       {_SQL_COSINE.format(p="a.embedding", c="b.embedding")} AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE {_SQL_COSINE.format(p="a.embedding", c="b.embedding")} >= 0.25"""
 
+    # Byte-exact framing: slice the hex encoding (2 chars/byte) so offsets
+    # and the md5 fingerprint operate on BYTES in both engines even when
+    # the payload's UTF-8 runs are multi-byte (a char-based substring would
+    # drift); the Spark side fingerprints md5(hex(frame)) to match.
     o["frame_samples"] = f"""
 WITH t AS (
-  SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS n
   FROM documents),
 f AS (
-  SELECT media_id, text,
+  SELECT media_id, hx,
          unnest(range(0, least({M.MAX_FRAMES}, CAST(floor((n - 1) / {M.FRAME_STRIDE}) AS INT) + 1))) AS i
   FROM t WHERE n > 0)
 SELECT media_id, 'image' AS media_type,
   CAST(i AS INT) AS frame_idx,
   CAST(i * {M.FRAME_STRIDE} AS BIGINT) AS frame_offset,
-  CAST(length(substring(text, i * {M.FRAME_STRIDE} + 1, {M.FRAME_SIZE})) AS BIGINT) AS frame_bytes,
-  md5(substring(text, i * {M.FRAME_STRIDE} + 1, {M.FRAME_SIZE})) AS frame_md5
+  CAST(length(substr(hx, i * {M.FRAME_STRIDE} * 2 + 1, {M.FRAME_SIZE} * 2)) // 2 AS BIGINT) AS frame_bytes,
+  md5(substr(hx, i * {M.FRAME_STRIDE} * 2 + 1, {M.FRAME_SIZE} * 2)) AS frame_md5
 FROM f"""
 
     o["media_features"] = """

@@ -31,8 +31,13 @@ from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats im
 MINHASH_K = 8
 BAND_SIZE = 2
 
-#: SimHash signature width in bits (one bit per md5 hex nibble, portable).
-SIMHASH_BITS = 16
+#: SimHash signature width in bits (two bits per md5 hex nibble, portable).
+#: 64 bits (not 16) so the pigeonhole blocks stay selective at corpus scale:
+#: with max_hamming=2 the three blocks are 21/21/22 bits wide (~2M-4M
+#: distinct values each), so block-join fan-out shrinks as ~N²/2^21 instead
+#: of the old ~N²/2^5 — the difference between a candidate join and a
+#: de-facto cross product at 10^12 documents.
+SIMHASH_BITS = 64
 
 _HEX = "0123456789abcdef"
 
@@ -112,12 +117,21 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
+    block_col: str,
     text_col: str = "text",
-    block_col: str = "lang",
     n: int = 1,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Token n-gram Jaccard similarity for pairs within a blocking key."""
+    """Token n-gram Jaccard similarity for pairs within a blocking key.
+
+    CONTRACT: this is O(n²) *within each block* — the caller must supply a
+    ``block_col`` whose groups stay small (there is deliberately no
+    default; a coarse key like language is the whole corpus at scale). For
+    corpus-wide near-dup detection use ``minhash_candidate_pairs`` to
+    generate candidates and verify them with exact Jaccard (the
+    ``minhash_verified_dedup`` composition) — this operator is the
+    verifier/small-block path only.
+    """
     sh = F.array_distinct(shingles_col(F.col(text_col), n)) if n > 1 else F.array_distinct(
         tokens_col(F.col(text_col))
     )
@@ -137,7 +151,9 @@ def ngram_jaccard_pairs(
     # Size-ratio prefilter: J ≥ t and |∩| ≤ min imply
     # min ≥ t/(1+t) · (|A|+|B|), so wildly mismatched sizes can never pass
     # the threshold. Integer-only predicate in the join condition → pruned
-    # before the O(|A|+|B|) array_intersect runs. Semantically a no-op.
+    # before the O(|A|+|B|) array_intersect runs. Semantically a no-op
+    # because the output filter below compares the UNROUNDED ratio (a pair
+    # whose true J is just under t must not survive via round-half-up).
     size_ok = (
         F.least(F.col("l.n_grams"), F.col("r.n_grams")).cast("double") * (1.0 + threshold)
         >= (F.col("l.n_grams") + F.col("r.n_grams")).cast("double") * threshold
@@ -153,37 +169,62 @@ def ngram_jaccard_pairs(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
             jaccard.alias("jaccard"),
+            (inter / union).alias("_j_exact"),
         )
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("_j_exact") >= threshold)
+        .drop("_j_exact")
     )
 
 
-def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over whitespace tokens, fully in built-in expressions.
+def simhash_vote(hx: Column, j: int) -> Column:
+    """±1 vote for signature bit ``j`` from md5-hex column ``hx``.
 
-    Bit j is the sign of sum over distinct tokens of ±1, where +1 iff the
-    j-th hex nibble of md5(token) ≥ 8 (the nibble's top bit). Per-row array
-    lambdas only — no explode, no shuffle; portable to the SQL oracle via
-    the same nibble arithmetic.
+    Bit ``j`` reads nibble ``j // 2`` of the digest: even bits take the
+    nibble's 8-bit, odd bits its 4-bit — 64 independent bits from 32
+    nibbles, identical arithmetic in Spark and DuckDB.
+    """
+    nibble = F.instr(F.lit(_HEX), F.substring(hx, j // 2 + 1, 1)) - 1
+    mask = 8 if j % 2 == 0 else 4
+    return F.when(nibble.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def simhash_value_col(prefix: str = "b") -> Column:
+    """Assemble the signed 64-bit signature from per-bit vote sums.
+
+    Two's complement, overflow-free in ANSI mode: bit 0 (the sign bit)
+    contributes ``-2^63`` when set, bits 1..63 contribute positive powers —
+    every partial sum fits in a BIGINT on both engines.
+    """
+    value = F.when(F.col(f"{prefix}0") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    for j in range(1, SIMHASH_BITS):
+        value = value + F.when(
+            F.col(f"{prefix}{j}") > 0, F.lit(1 << (SIMHASH_BITS - 1 - j))
+        ).otherwise(F.lit(0))
+    return value.cast("long")
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over distinct lowercase whitespace tokens.
+
+    Bit j is the sign of the sum over distinct tokens of ±1 votes derived
+    from md5 nibble bits (``simhash_vote``). Computed as one explode +
+    64-way partial-sum aggregate — the map-side combine reduces each task
+    to 64 longs per document before the (narrow) shuffle, the same shape
+    ``minhash_signatures`` uses. Documents with no tokens get signature 0
+    (every vote sum is empty ⇒ every bit 0), restored via a left join.
     """
     toks = F.array_distinct(tokens_col(F.lower(F.col(text_col))))
-    hashes = F.transform(toks, F.md5)
-
-    def bit(j: int) -> Column:
-        votes = F.transform(
-            hashes,
-            lambda h: F.when(
-                F.instr(F.lit(_HEX), F.substring(h, j + 1, 1)) >= 9, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        total = F.aggregate(votes, F.lit(0), lambda acc, v: acc + v)
-        return F.when(total > 0, F.lit(1)).otherwise(F.lit(0))
-
-    bits = [bit(j) for j in range(SIMHASH_BITS)]
-    value = bits[0]
-    for b in bits[1:]:
-        value = value * F.lit(2) + b
-    return df.select("doc_id", value.cast("int").alias("simhash"))
+    hashed = df.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("hx")
+    )
+    aggs = [
+        F.sum(simhash_vote(F.col("hx"), j)).alias(f"b{j}") for j in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*aggs)
+    sigs = sums.select("doc_id", simhash_value_col().alias("simhash"))
+    return df.select("doc_id").join(sigs, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 2) -> DataFrame:
@@ -202,7 +243,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
     for b in range(n_blocks):
         lo = b * width
         hi = SIMHASH_BITS if b == n_blocks - 1 else lo + width
-        value = F.shiftright(F.col("simhash"), lo) % F.lit(1 << (hi - lo))
+        # Arithmetic shift + mask: well-defined on the signed 64-bit
+        # signature and bit-identical in DuckDB (>> is arithmetic there too).
+        value = F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
         blocks.append(F.struct(F.lit(b).alias("block_id"), value.alias("block_val")))
     banded = sigs.select(
         "doc_id", "simhash", F.explode(F.array(*blocks)).alias("blk")

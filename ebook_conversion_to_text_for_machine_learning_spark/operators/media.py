@@ -83,6 +83,11 @@ def sample_frames(
     bounded by ``max_frames`` so output size is predictable at any scale.
     A real decoder would replace the byte window with a codec frame-seek;
     the partitioning, capping, and per-frame schema stay identical.
+
+    ``frame_md5`` fingerprints the frame via its hex encoding
+    (``md5(hex(bytes))``) — byte-exact and portable to SQL oracles whose
+    md5 only accepts strings, where a raw-bytes md5 would need BLOB
+    support and a char-based slice would drift on multi-byte UTF-8.
     """
     n = F.octet_length("payload")
     n_frames = F.least(
@@ -105,7 +110,7 @@ def sample_frames(
             F.col("frame_idx").cast("int").alias("frame_idx"),
             (F.col("frame_idx").cast("long") * stride).alias("frame_offset"),
             F.octet_length(frame).cast("long").alias("frame_bytes"),
-            F.md5(frame).alias("frame_md5"),
+            F.md5(F.hex(frame)).alias("frame_md5"),
         )
     )
 

@@ -28,6 +28,14 @@ from pyspark.sql import functions as F
 N_PLANES = 8
 _PLANE_SEED = 20240816
 
+#: Banded LSH defaults for near-duplicate detection: ``N_BANDS`` independent
+#: tables of ``BAND_PLANES`` planes each. A single 2^8 bucket space turns
+#: into a cross product at corpus scale; 4 bands × 16 planes gives 2^16
+#: buckets per table (recall comes from the 4 independent tries, exactly as
+#: ``minhash_bands`` does for text), and both knobs grow with corpus size.
+N_BANDS = 4
+BAND_PLANES = 16
+
 
 def hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = _PLANE_SEED) -> List[List[int]]:
     """Deterministic ±1 hyperplanes shared by Spark and the SQL oracle."""
@@ -106,35 +114,83 @@ def lsh_bucket_signatures(
     )
 
 
-#: IVF codebook sampling stride (centroid iff ``vec_id % IVF_STRIDE == 0``)
-#: and default number of cells each probe searches.
-IVF_STRIDE = 50
+def lsh_banded_signatures(
+    df: DataFrame,
+    dim: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
+) -> DataFrame:
+    """Multi-table LSH: one (vec_id, band_id, bucket) row per band.
+
+    Band ``b`` reads planes ``[b*band_planes, (b+1)*band_planes)`` of a
+    single shared hyperplane sequence, so the DuckDB oracle can rebuild the
+    identical buckets. Per-row expressions only — the explode factor is
+    ``n_bands``, constant in corpus size.
+    """
+    planes = hyperplanes(dim, n_bands * band_planes)
+    bands = []
+    for b in range(n_bands):
+        bits = []
+        for plane in planes[b * band_planes : (b + 1) * band_planes]:
+            lit_plane = F.array(*[F.lit(float(w)) for w in plane])
+            bits.append(
+                F.when(_dot(F.col(vec_col), lit_plane) > 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        bands.append(F.struct(F.lit(b).alias("band_id"), F.concat(*bits).alias("bucket")))
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*bands)).alias("band")
+    ).select("vec_id", "band.band_id", "band.bucket")
+
+
+#: Default IVF codebook size (cells), CONSTANT in corpus size — the stride
+#: that samples centroids is derived as ``max(1, N // IVF_TARGET_CELLS)``,
+#: so the driver-collected codebook never grows past ~64k entries no matter
+#: how large the corpus is. ``IVF_NPROBE`` is how many cells each probe
+#: searches.
+IVF_TARGET_CELLS = 65536
 IVF_NPROBE = 2
 
 
 def ivf_centroids(
     corpus: DataFrame,
     *,
-    stride: int = IVF_STRIDE,
+    target_cells: int = IVF_TARGET_CELLS,
+    stride: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> list:
-    """Collect the IVF codebook to the driver.
+    """Collect the IVF codebook to the driver — bounded, never O(N).
 
     IVF's defining trade is a *small* centroid set (≤64k cells even for
     billion-vector indexes) against a huge corpus, so collecting the
-    codebook and re-broadcasting it as literal expressions is the
-    scale-correct shape: cell assignment then runs as a narrow per-row
-    projection with zero shuffle. Centroid choice here is a deterministic
-    data sample (every ``stride``-th id) so the DuckDB oracle can rebuild
-    the identical codebook; swap in k-means output in production without
+    codebook and re-broadcasting it is the scale-correct shape: cell
+    assignment then runs per-row with zero shuffle. Centroid choice is a
+    deterministic data sample — every ``stride``-th id, where ``stride``
+    defaults to ``max(1, N // target_cells)`` so the codebook size stays
+    constant as the corpus grows (the fix for the round-1 O(N) stride-only
+    sampling). The DuckDB oracle rebuilds the identical codebook from the
+    same count arithmetic; swap in k-means output in production without
     touching the assignment/search plan.
+
+    Raises ``ValueError`` when the sample is empty (e.g. no id divisible by
+    the stride) instead of letting ``_cell_ranking`` build a zero-entry
+    ``sort_array`` that fails at analysis time with an opaque error.
     """
+    if stride is None:
+        stride = max(1, corpus.count() // target_cells)
     rows = (
         corpus.where(F.col(id_col) % stride == 0)
         .select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cvec"))
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"ivf_centroids: empty codebook (no {id_col} divisible by stride "
+            f"{stride}); pass a smaller stride/target_cells or remap ids"
+        )
     return sorted((int(r.cid), [float(x) for x in r.cvec]) for r in rows)
 
 
@@ -175,6 +231,7 @@ def ivf_assign_arrow(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Production-rate cell assignment: one numpy matmul per Arrow batch.
 
@@ -196,19 +253,25 @@ def ivf_assign_arrow(
     mat = np.array([c[1] for c in centroids], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
+    vec_type = dict(corpus.dtypes)[vec_col]
+    schema = "vec_id long, cell_id long"
+    if keep_vec:
+        # Pass the vector through the Arrow batch so downstream scoring
+        # (ivf_ann_topk) needs no corpus self-join to refetch it.
+        schema += f", {vec_col} {vec_type}"
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in it:
             vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0
             best = np.argmax((vecs / norms) @ mat.T, axis=1)
-            yield pd.DataFrame(
-                {"vec_id": batch[id_col].astype("int64"), "cell_id": ids[best]}
-            )
+            out = {"vec_id": batch[id_col].astype("int64"), "cell_id": ids[best]}
+            if keep_vec:
+                out[vec_col] = batch[vec_col]
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        batches, schema="vec_id long, cell_id long"
-    )
+    return corpus.select(id_col, vec_col).mapInPandas(batches, schema=schema)
 
 
 def ivf_ann_topk(
@@ -217,26 +280,41 @@ def ivf_ann_topk(
     *,
     k: int = 5,
     nprobe: int = IVF_NPROBE,
-    stride: int = IVF_STRIDE,
+    target_cells: int = IVF_TARGET_CELLS,
+    stride: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign_path: str = "arrow",
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine over the probe's ``nprobe`` cells.
 
-    Plan shape at scale: corpus→cell assignment is a narrow projection
-    (codebook inlined as literals); the search joins the huge cell-tagged
+    Plan shape at scale: corpus→cell assignment is one numpy matmul per
+    Arrow batch (``assign_path="arrow"``, the production default; pass
+    ``"expr"`` for the interpreted expression twin that is bit-identical to
+    the SQL oracle's fold order). The search then joins the cell-tagged
     corpus against a broadcast of (probe × nprobe) rows keyed on cell_id,
     so the corpus is never shuffled and each item is scored at most once
     per probe (an item lives in exactly one cell).
     """
     from pyspark.sql.window import Window
 
-    centroids = ivf_centroids(corpus, stride=stride, vec_col=vec_col, id_col=id_col)
-    c = corpus.select(
-        F.col(id_col).alias("item_id"),
-        F.col(vec_col).alias("item_vec"),
-        F.element_at(_cell_ranking(F.col(vec_col), centroids), 1)["centroid_id"].alias("cell_id"),
+    centroids = ivf_centroids(
+        corpus, target_cells=target_cells, stride=stride, vec_col=vec_col, id_col=id_col
     )
+    if assign_path == "arrow":
+        c = ivf_assign_arrow(
+            corpus, centroids, vec_col=vec_col, id_col=id_col, keep_vec=True
+        ).select(
+            F.col("vec_id").alias("item_id"),
+            F.col(vec_col).alias("item_vec"),
+            "cell_id",
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("item_id"),
+            F.col(vec_col).alias("item_vec"),
+            F.element_at(_cell_ranking(F.col(vec_col), centroids), 1)["centroid_id"].alias("cell_id"),
+        )
     probe_cells = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
@@ -271,35 +349,43 @@ def embedding_near_dup(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+    """Embedding-cosine near-duplicate pairs, banded-LSH blocked.
 
-    The candidate join keys on the sign-projection bucket (narrow string),
-    never a cross product; exact cosine then verifies candidates only.
-    This is the embedding-space sibling of MinHash-LSH text dedup: at
-    10^12 rows the shuffle carries (id, bucket, vec) and each bucket is a
-    tiny island of pairwise work.
+    Two-phase, the embedding-space sibling of ``minhash_candidate_pairs`` →
+    verify: candidates are ids that collide in at least one of ``n_bands``
+    independent ``band_planes``-bit bucket tables (the join keys on
+    (band_id, bucket) — narrow strings, never vectors, never a cross
+    product), then exact cosine verifies candidates only. Bucket
+    cardinality is 2^band_planes per table, so selectivity is tuned to
+    corpus size by widening bands — the single-table 2^8 layout this
+    replaces degenerated at scale.
     """
-    sigs = lsh_bucket_signatures(df, dim, vec_col=vec_col, id_col=id_col)
-    base = (
-        df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        .join(sigs.withColumnRenamed("vec_id", "vid"), "vid")
+    bands = lsh_banded_signatures(
+        df, dim, vec_col=vec_col, id_col=id_col, n_bands=n_bands, band_planes=band_planes
     )
-    left, right = base.alias("l"), base.alias("r")
-    cosine = F.round(
-        _dot(F.col("l.vec"), F.col("r.vec")) / (_norm(F.col("l.vec")) * _norm(F.col("r.vec"))),
-        4,
-    )
-    return (
+    left, right = bands.alias("l"), bands.alias("r")
+    candidates = (
         left.join(
             right,
-            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vid") < F.col("r.vid")),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
-        .select(
-            F.col("l.vid").alias("vec_a"),
-            F.col("r.vid").alias("vec_b"),
-            cosine.alias("cosine"),
-        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    cosine = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 4
+    )
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

@@ -48,11 +48,72 @@ def test_simhash_near_pairs(spark):
     )
 
     near = BASE.replace("lazy", "sleepy")
-    df = _docs_df(spark, [(1, "en", BASE), (2, "en", near)])
+    far = "completely different words compose this other document about ships at sea"
+    df = _docs_df(spark, [(1, "en", BASE), (2, "en", near), (3, "en", far), (4, "en", BASE)])
     sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
-    assert 0 <= sigs[1] < 2**16
-    pairs = simhash_near_pairs(df, max_hamming=4).collect()
-    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    assert all(-(2**63) <= s < 2**63 for s in sigs.values())  # signed 64-bit
+    assert sigs[1] == sigs[4]  # identical text → identical signature
+    hamming_12 = bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1")
+    pairs = {(p.doc_a, p.doc_b): p.hamming for p in simhash_near_pairs(df, max_hamming=hamming_12).collect()}
+    assert pairs[(1, 4)] == 0  # exact duplicate found at distance 0
+    assert pairs[(1, 2)] == hamming_12  # one-token edit found at its true distance
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_apply_ocr_hook_reproduces_epub_002(spark):
+    """epub-002 with the transcript stripped must extract identically when a
+    mocked live-OCR callable (instead of the sidecar) supplies the text —
+    mirrors the reference's run_ocr mocking (test_pdf_conversion.py:261-267)."""
+    from tests import fixtures as fx
+    from tests.conftest import spans_df
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.transcripts import (
+        apply_ocr,
+    )
+
+    doc = dict(fx.EPUB_002)
+    doc["spans"] = [(k, "" if k == "img" else t, r, o) for k, t, r, o in doc["spans"]]
+
+    def mock_ocr(images):
+        assert images == ["chapter_one.jpg"]  # loader default passes the ref
+        return "Chapter One"
+
+    enriched = apply_ocr(spans_df(spark, [doc]), mock_ocr)
+    out = extract_spans(enriched).collect()[0]
+    got = [(s.kind, s.text, s.media_ref, s.order) for s in out.spans]
+    assert got == fx.EPUB_002_EXPECTED
+
+
+def test_run_ocr_with_retries_reference_semantics():
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.transcripts import (
+        run_ocr_with_retries,
+    )
+
+    assert run_ocr_with_retries(lambda imgs: "hello", []) == ""  # no images
+
+    calls = []
+
+    def refuses_twice(imgs):
+        calls.append(1)
+        return "I'm sorry, I cannot" if len(calls) <= 2 else "recovered text"
+
+    assert run_ocr_with_retries(refuses_twice, ["x"]) == "recovered text"
+    assert len(calls) == 3
+
+    def always_refuses(imgs):
+        return "I apologize"
+
+    assert run_ocr_with_retries(always_refuses, ["x"], max_retries=3) == ""
+
+    def raises(imgs):
+        raise RuntimeError("api down")
+
+    assert run_ocr_with_retries(raises, ["x"]) == ""
+    assert run_ocr_with_retries(lambda imgs: "No text found", ["x"]) == ""
+    assert run_ocr_with_retries(lambda imgs: "", ["x"]) == ""
 
 
 def test_ngram_jaccard_threshold(spark):
@@ -62,7 +123,7 @@ def test_ngram_jaccard_threshold(spark):
 
     near = BASE + " extra"
     df = _docs_df(spark, [(1, "en", BASE), (2, "en", near), (3, "fr", BASE)])
-    pairs = ngram_jaccard_pairs(df, threshold=0.8).collect()
+    pairs = ngram_jaccard_pairs(df, block_col="lang", threshold=0.8).collect()
     # doc 3 shares text but is in another blocking key (lang).
     assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
     assert pairs[0].jaccard > 0.9
@@ -198,6 +259,25 @@ def test_ivf_assign_and_topk_find_identical_vector(spark):
     assert got[0][0] == 2  # nearest same-cell neighbor, self excluded
 
 
+def test_ivf_codebook_constant_in_corpus_size(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    def corpus(n):
+        return _emb_df(spark, [(i, [float(i % 7), 1.0, 0.0, 0.0]) for i in range(n)])
+
+    # 4× the rows, same codebook size: stride scales with N.
+    small = ivf_centroids(corpus(100), target_cells=10)
+    large = ivf_centroids(corpus(400), target_cells=10)
+    assert len(small) == 10 and len(large) == 10
+
+    with pytest.raises(ValueError, match="empty codebook"):
+        # ids start at 1 and never hit the stride → clear error, not an
+        # opaque analysis failure downstream.
+        ivf_centroids(_emb_df(spark, [(1, [1.0, 0.0, 0.0, 0.0])]), stride=50)
+
+
 def test_embedding_near_dup_threshold(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
         embedding_near_dup,
@@ -220,7 +300,8 @@ def test_sample_frames_offsets_and_cap(spark):
 
     long_text = "x" * 300  # 300 bytes → frames at 0, 64, 128, 192, 256
     df = spark.createDataFrame(
-        [(1, long_text), (2, "short"), (3, "")], "doc_id long, text string"
+        [(1, long_text), (2, "short"), (3, ""), (4, "é" * 40)],
+        "doc_id long, text string",
     )
     payloads = attach_payloads(df, "doc_id", "text", "image")
     frames = sample_frames(payloads, frame_size=16, stride=64, max_frames=4)
@@ -230,10 +311,16 @@ def test_sample_frames_offsets_and_cap(spark):
     assert len(by_doc["1"]) == 4  # 5 windows capped at 4
     f0 = sorted(by_doc["1"], key=lambda r: r.frame_idx)[0]
     assert f0.frame_offset == 0 and f0.frame_bytes == 16
-    assert f0.frame_md5 == hashlib.md5(b"x" * 16).hexdigest()
+    assert f0.frame_md5 == hashlib.md5((b"x" * 16).hex().upper().encode()).hexdigest()
     (short,) = by_doc["2"]
     assert short.frame_bytes == 5  # tail window is the whole payload
     assert "3" not in by_doc  # empty payload yields no frames
+    # Multi-byte UTF-8: framing is BYTE-based ("é"*40 is 80 bytes → frames
+    # at 0 and 64), and the window may split a codepoint mid-sequence.
+    mb = sorted(by_doc["4"], key=lambda r: r.frame_idx)
+    payload = ("é" * 40).encode("utf-8")
+    assert [(r.frame_offset, r.frame_bytes) for r in mb] == [(0, 16), (64, 16)]
+    assert mb[1].frame_md5 == hashlib.md5(payload[64:80].hex().upper().encode()).hexdigest()
 
 
 def test_resize_media_stub_pads_and_truncates(spark):
@@ -263,7 +350,7 @@ def test_ivf_assign_arrow_matches_expression_path(spark):
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    cents = ivf_centroids(emb)
+    cents = ivf_centroids(emb, target_cells=10)
     expr = {r.vec_id: r.cell_id for r in ivf_assign(emb, cents).collect()}
     fast = {r.vec_id: r.cell_id for r in ivf_assign_arrow(emb, cents).collect()}
     assert len(expr) == len(fast) == 500
