@@ -62,6 +62,12 @@ class _LoggerProxy:
 
     def __getattr__(self, name: str) -> Any:
         if self._logger is None:
+            # Match the reference's first-use behavior (_logger.py
+            # _add_basic_logger): ensure a root handler exists so default
+            # logger.info/debug calls are emitted, not silently dropped via
+            # Python's lastResort handler. basicConfig is a no-op when the
+            # application has already configured handlers.
+            logging.basicConfig()
             self._logger = logging.getLogger(
                 "ebook_conversion_to_text_for_machine_learning_spark"
             )

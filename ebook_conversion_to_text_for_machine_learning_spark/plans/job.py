@@ -39,11 +39,18 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--metrics", default=None)
     parser.add_argument("--repartition", type=int, default=None)
     parser.add_argument("--master", default=None)
+    parser.add_argument(
+        "--catalog",
+        action="store_true",
+        help="treat --input/--output/--lineage/--metrics as catalog table "
+        "names and write via writeTo().append() (atomic Iceberg snapshot "
+        "commits) instead of parquet dirs",
+    )
     args = parser.parse_args(argv)
 
     spark = build_session(app_name="ebook-extraction", master=args.master)
     try:
-        if args.input.count("/") == 0 or args.input.count(".") >= 2:
+        if args.catalog or args.input.count("/") == 0 or args.input.count(".") >= 2:
             input_df = spark.read.table(args.input)  # Iceberg / catalog table
         else:
             input_df = spark.read.parquet(args.input)
@@ -54,6 +61,7 @@ def main(argv: list[str] | None = None) -> None:
             lineage_path=args.lineage,
             metrics_path=args.metrics,
             repartition=args.repartition,
+            catalog=args.catalog,
         )
         print(json.dumps(summary, default=str))
     finally:

@@ -26,6 +26,25 @@ from ebook_conversion_to_text_for_machine_learning_spark.operators.extract impor
 )
 
 
+def _append(df: DataFrame, target: str, catalog: bool) -> None:
+    """One write shape for both sinks: ``writeTo().append()`` is a single
+    atomic Iceberg snapshot commit when a catalog is configured; the
+    parquet dir append is the sandbox fallback."""
+    if catalog:
+        df.writeTo(target).append()
+    else:
+        df.write.mode("append").parquet(target)
+
+
+def _read_lineage(spark: SparkSession, lineage_path: str, catalog: bool):
+    try:
+        if catalog:
+            return spark.read.table(lineage_path)
+        return spark.read.parquet(lineage_path)
+    except Exception:  # first run: no lineage yet
+        return None
+
+
 def resume_filter(input_df: DataFrame, lineage_df: DataFrame | None) -> DataFrame:
     """Drop documents already committed by a previous run (left anti join)."""
     if lineage_df is None:
@@ -42,27 +61,31 @@ def run_extraction_job(
     lineage_path: str | None = None,
     metrics_path: str | None = None,
     repartition: int | None = None,
+    catalog: bool = False,
 ) -> dict:
     """Execute the pipeline, returning the metrics summary.
 
-    ``output_path``/``lineage_path``/``metrics_path`` are parquet dirs in
-    the sandbox; ``writeTo(...).append()`` on Iceberg in production.
+    With ``catalog=False`` (sandbox default) ``output_path``/
+    ``lineage_path``/``metrics_path`` are parquet dirs; with
+    ``catalog=True`` they are catalog table names (e.g.
+    ``lake.db.extracted``) and every append is an atomic
+    ``writeTo(...).append()`` Iceberg snapshot commit — the resume
+    left-anti join then reads committed doc_ids from the last snapshot, so
+    a restart is exact, not best-effort. Tables are created once with the
+    DDL in ``sources/tables.py``.
     """
     run_id = uuid.uuid4().hex
     started = time.time()
 
     lineage_df = None
     if lineage_path:
-        try:
-            lineage_df = spark.read.parquet(lineage_path)
-        except Exception:  # first run: no lineage yet
-            lineage_df = None
+        lineage_df = _read_lineage(spark, lineage_path, catalog)
 
     todo = resume_filter(input_df, lineage_df)
     extracted = extract_spans(todo, repartition=repartition)
     extracted.persist()
     try:
-        extracted.select("doc_id", "fmt", "spans").write.mode("append").parquet(output_path)
+        _append(extracted.select("doc_id", "fmt", "spans"), output_path, catalog)
 
         # Metrics counters (docs in/dropped, chapters, media, per format).
         # Collected BEFORE the lineage append: writing into lineage_path
@@ -79,7 +102,7 @@ def run_extraction_job(
             .withColumn("run_id", F.lit(run_id))
         )
         if metrics_path:
-            metrics_rows.write.mode("append").parquet(metrics_path)
+            _append(metrics_rows, metrics_path, catalog)
         metrics = [row.asDict() for row in metrics_rows.collect()]
 
         # Per-partition lineage: partition id, doc/span counts, commit id.
@@ -105,8 +128,8 @@ def run_extraction_job(
         if lineage_path:
             # Partition stats first: the doc_lineage append into lineage_path
             # is the commit point and also invalidates the cached plan.
-            lineage.write.mode("append").parquet(lineage_path + "_partitions")
-            doc_lineage.write.mode("append").parquet(lineage_path)
+            _append(lineage, lineage_path + "_partitions", catalog)
+            _append(doc_lineage, lineage_path, catalog)
     finally:
         extracted.unpersist()
 

@@ -168,8 +168,29 @@ def txt_file_to_spans(path: str | Path) -> List[InSpan]:
     return [("line", line, "", i) for i, line in enumerate(content.splitlines())]
 
 
+def _pdf_file_to_spans_pure(path: str | Path) -> List[InSpan]:
+    """Stdlib PDF → spans (sources/pdf_text.py): the common-case path for
+    uncompressed/FlateDecode text PDFs, used when pdfminer is absent."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        pdf_bytes_to_rows,
+    )
+
+    try:
+        if hasattr(path, "read"):  # file-like (bytes_to_spans)
+            data = path.read()
+        else:
+            data = Path(path).read_bytes()
+        rows = pdf_bytes_to_rows(data)
+    except (OSError, ValueError, KeyError, EOFError) as e:
+        # Reference: parse/read errors → PDFConversionError
+        # (pdf_converter.py:45-59); zlib.error subclasses OSError.
+        raise PDFConversionError(str(e)) from e
+    return [(k, t, r, i) for i, (k, t, r) in enumerate(rows)]
+
+
 def pdf_file_to_spans(path: str | Path) -> List[InSpan]:
-    """PDF → spans via pdfminer (not installed in this sandbox).
+    """PDF → spans; pdfminer when installed (full layout fidelity), else
+    the pure-stdlib extractor for the uncompressed/FlateDecode common case.
 
     Mirrors the reference's element sweep (pdf_text_extractor.py:102-129):
     objects with a ``stream`` are images (objid as media_ref), LTText
@@ -178,11 +199,8 @@ def pdf_file_to_spans(path: str | Path) -> List[InSpan]:
     try:
         from pdfminer.high_level import extract_pages
         from pdfminer.layout import LTChar, LTContainer, LTText
-    except ImportError as exc:  # pragma: no cover - sandbox has no pdfminer
-        raise NotImplementedError(
-            "PDF ingestion requires pdfminer.six (available in production; "
-            "not installed in this sandbox). EPUB/DOCX/TXT ingest is stdlib-only."
-        ) from exc
+    except ImportError:  # sandbox has no pdfminer → stdlib extractor
+        return _pdf_file_to_spans_pure(path)
 
     def classify(element):  # pragma: no cover - exercised only with pdfminer
         if hasattr(element, "stream"):
@@ -348,10 +366,23 @@ def convert_file(
 ) -> str | None:
     """Full parity with the reference's primary ``convert_file`` entry point:
     string mode returns the reduced text; save mode appends each non-empty
-    block to the (mangled) output path per the format's write rule."""
+    block to the (mangled) output path per the format's write rule.
+
+    The file is parsed exactly once; both modes reuse the same spans."""
+    from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
+        extract_document,
+    )
+
     fmt, spans = file_to_spans(path)
     if not save_file:
-        return convert_file_to_text(path, metadata)
+        meta = metadata or {}
+        rows = [(k, t, r) for k, t, r, _ in spans]
+        out_spans, status = extract_document(
+            fmt, rows, meta.get("title"), meta.get("author")
+        )
+        if status != "ok":
+            raise RuntimeError(f"extraction failed: {status}")
+        return "".join(text for _, text, _, _ in out_spans)
     out = Path(save_path) if save_path is not None else parse_output_path(path)
     for content in _blocks_for(fmt, spans, metadata):
         if content:  # `if content:` driver-loop guard (convert_file.py:77-78)

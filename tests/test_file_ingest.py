@@ -146,11 +146,121 @@ def test_txt_roundtrip(tmp_path):
     assert text == f"{fx.TITLE}\n***\nIt was a dark night.\n***\nThe end."
 
 
-def test_pdf_requires_pdfminer(tmp_path):
-    f = tmp_path / "x.pdf"
-    f.write_bytes(b"%PDF-1.4")
-    with pytest.raises(NotImplementedError, match="pdfminer"):
-        pdf_file_to_spans(f)
+def _pdf_pages_to_builder_items(pages):
+    """fixtures._PDF_PAGES span rows → pdf_fixture.build_pdf page items
+    (text lines lose their trailing newline; img rows become markers)."""
+    items = []
+    for page in pages:
+        items.append(
+            [
+                t.rstrip("\n") if k == "line" else ("img",)
+                for k, t, _r in page
+            ]
+        )
+    return items
+
+
+def test_pdf_file_round_trips_to_pdf_001_golden(tmp_path):
+    """A REAL .pdf file (classic xref, FlateDecode streams) built from the
+    pdf-001 page layout must parse to the exact pdf-001 span sequence and
+    convert_file to the golden string — PDFs now work end-to-end like
+    EPUB/DOCX/TXT (reference behavior: pdf_text_extractor.py:102-129)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _imgs = build_pdf(_pdf_pages_to_builder_items(fx._PDF_PAGES), compress=True)
+    f = tmp_path / "book one.pdf"
+    f.write_bytes(data)
+
+    spans = pdf_file_to_spans(f)
+    assert [(k, t, r) for k, t, r, _o in spans] == [
+        row for row in _flatten_pdf_pages(fx._PDF_PAGES)
+    ]
+
+    text = convert_file_to_text(f, METADATA)
+    expected = "".join(t for _k, t, _r, _o in fx.PDF_001_EXPECTED)
+    assert text == expected
+
+
+def _flatten_pdf_pages(pages):
+    rows = []
+    for i, page in enumerate(pages):
+        if i:
+            rows.append(("page_break", "", ""))
+        rows.extend(page)
+    return rows
+
+
+def test_pdf_file_with_image_round_trips_to_pdf_002_golden(spark, tmp_path):
+    """An image XObject before the chapter heading must surface as an img
+    span keyed by its object id (pdfminer's stream.objid contract) and
+    extraction must emit the media_ref marker (pdf-002 semantics)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        extract_spans,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    pages = [p[:] for p in fx._PDF_PAGES]
+    pages[4] = [("img", "", "X")] + pages[4][1:]  # image replaces "Chapter 1"
+    data, image_ids = build_pdf(_pdf_pages_to_builder_items(pages), compress=True)
+    f = tmp_path / "img book.pdf"
+    f.write_bytes(data)
+
+    spans = pdf_file_to_spans(f)
+    (img_span,) = [s for s in spans if s[0] == "img"]
+    assert img_span[2] == str(image_ids[4][0])  # media_ref = image objid
+
+    kinds = [k for k, _t, _r, _o in spans]
+    assert kinds.count("page_break") == len(pages) - 1
+
+    # Through the engine: the img span (no transcript) yields a media_ref
+    # marker and, with no OCR'd heading, no chapter trigger on that page.
+    from tests.conftest import spans_df as mk_spans_df
+
+    doc = {
+        "doc_id": "pdf-real-002",
+        "fmt": "pdf",
+        "title": fx.TITLE,
+        "author": fx.AUTHOR,
+        "spans": spans,
+    }
+    out = extract_spans(mk_spans_df(spark, [doc])).collect()[0]
+    assert out.status == "ok"
+    assert any(s.kind == "media_ref" and s.media_ref == str(image_ids[4][0]) for s in out.spans)
+
+
+def test_pdf_uncompressed_and_damaged_files(tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.compat import (
+        PDFConversionError,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf([["Hello PDF ", "Second line "]], compress=False)
+    f = tmp_path / "raw.pdf"
+    f.write_bytes(data)
+    spans = pdf_file_to_spans(f)
+    assert [(k, t) for k, t, _r, _o in spans] == [
+        ("line", "Hello PDF \n"),
+        ("line", "Second line \n"),
+    ]
+
+    # Executor-side raw-bytes variant (binaryFile ingest path).
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+        bytes_to_spans,
+    )
+
+    fmt, from_bytes = bytes_to_spans("raw.pdf", data)
+    assert fmt == "pdf" and from_bytes == spans
+
+    bad = tmp_path / "x.pdf"
+    bad.write_bytes(b"%PDF-1.4 garbage without any objects")
+    with pytest.raises(PDFConversionError):
+        pdf_file_to_spans(bad)
 
 
 def test_unknown_suffix_raises(tmp_path):

@@ -239,3 +239,108 @@ def test_read_spans_source_json_and_csv_roundtrip(spark, tmp_path):
     from_cs = extract_map(read_spans_source(spark, str(cs), source_format="csv"))
     assert from_pq == from_js == from_cs
     assert len(from_pq) == len(docs)
+
+
+def test_catalog_mode_routes_writes_through_writeto_append(spark, monkeypatch):
+    """--catalog mode must issue writeTo(table).append() for every sink
+    (output, metrics, partition lineage, doc lineage) — the Iceberg
+    snapshot-commit path — with the parquet branch untouched."""
+    from ebook_conversion_to_text_for_machine_learning_spark.plans.pipeline import (
+        run_extraction_job,
+    )
+
+    appended = []
+
+    class FakeWriter:
+        def __init__(self, df, table):
+            self.df, self.table = df, table
+
+        def append(self):
+            appended.append((self.table, self.df.count()))
+
+    # Patch the RUNTIME DataFrame class (pyspark.sql.DataFrame is an ABC in
+    # Spark 4; the classic subclass defines its own writeTo).
+    runtime_cls = type(spark.range(1))
+    monkeypatch.setattr(
+        runtime_cls, "writeTo", lambda self, table: FakeWriter(self, table), raising=True
+    )
+
+    docs = fx.random_corpus(10, seed=5)
+    summary = run_extraction_job(
+        spark,
+        spans_df(spark, docs),
+        "lake.db.extracted",
+        lineage_path="lake.db.lineage",
+        metrics_path="lake.db.metrics",
+        catalog=True,
+    )
+    assert sum(m["docs"] for m in summary["metrics"]) == 10
+    tables = [t for t, _ in appended]
+    assert tables == [
+        "lake.db.extracted",
+        "lake.db.metrics",
+        "lake.db.lineage_partitions",
+        "lake.db.lineage",
+    ]
+    assert appended[0][1] == 10  # all docs written to the output table
+
+
+def test_salted_repartition_levels_giant_document_skew(spark):
+    """Stress golden for the SURVEY risk register: a cluster of giant
+    documents co-located in one input partition must (a) be visible in the
+    per-partition cpu_us lineage and (b) be leveled by salted_repartition.
+    """
+    from pyspark.sql import functions as SF
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
+        INPUT_SCHEMA,
+        extract_spans,
+        salted_repartition,
+    )
+
+    def doc(doc_id, n_lines, width):
+        return (
+            doc_id,
+            "txt",
+            None,
+            None,
+            [
+                {"kind": "line", "text": f"line {i} " + "w" * width, "media_ref": "", "offset": i}
+                for i in range(n_lines)
+            ],
+        )
+
+    giants = [doc(f"giant-{i}", 4000, 60) for i in range(8)]
+    tiny = [doc(f"tiny-{i:04d}", 1, 5) for i in range(2000)]
+    # Giants first + coalesce(4): all giants land in input partition 0 —
+    # the "all the big PDFs came from one source split" shape.
+    df = spark.createDataFrame(giants + tiny, schema=INPUT_SCHEMA).coalesce(4)
+
+    def per_partition(extracted):
+        rows = (
+            extracted.groupBy(SF.spark_partition_id().alias("pid"))
+            .agg(
+                SF.sum("elapsed_us").alias("cpu_us"),
+                SF.sum(SF.when(SF.col("doc_id").startswith("giant"), 1).otherwise(0)).alias("giants"),
+            )
+            .collect()
+        )
+        return {r.pid: (r.cpu_us, r.giants) for r in rows}
+
+    before = per_partition(extract_spans(df))
+    # Skew is observable: one partition holds every giant and the lineage
+    # cpu_us signal flags it (≥ half the total fold time).
+    giant_parts_before = [p for p, (_, g) in before.items() if g > 0]
+    assert len(giant_parts_before) == 1
+    skewed = giant_parts_before[0]
+    total_before = sum(c for c, _ in before.values())
+    assert before[skewed][0] >= 0.5 * total_before
+
+    after = per_partition(extract_spans(df, repartition=8))
+    # xxhash64(doc_id) is deterministic: the 8 giants spread across ≥3
+    # partitions, and no partition keeps the whole cluster.
+    giant_spread = [g for _, g in after.values() if g > 0]
+    assert len(giant_spread) >= 3
+    assert max(giant_spread) < 8
+    # The hot partition's fold time drops materially once leveled.
+    assert max(c for c, _ in after.values()) <= 0.6 * before[skewed][0]
