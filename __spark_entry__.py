@@ -50,9 +50,10 @@ EMBED_DIM = 64
 
 #: Hamming radius for the simhash near-pair driver query. 64-bit signatures
 #: make radius 2 nearly empty on the synthetic corpus, so the driver query
-#: widens the radius to keep the oracle non-vacuous; production dedup runs
-#: the same plan at max_hamming 2-3.
-_SIMHASH_MAX_HAMMING = 7
+#: widens the radius to keep the oracle non-vacuous (≈15k pairs at sf0.01);
+#: production dedup runs the same plan at max_hamming 2-3, whose 21-bit
+#: blocks are far more selective than the 10-bit blocks radius 5 induces.
+_SIMHASH_MAX_HAMMING = 5
 
 # ---------------------------------------------------------------------------
 # Shared expression builders (Spark side)
@@ -854,7 +855,9 @@ WHERE 2 * len(list_intersect(l.grams, r.grams)) >= len(list_distinct(list_concat
 
     # 64-bit SimHash: bit j reads nibble j//2 of md5 (8-bit for even j,
     # 4-bit for odd), mirroring D.simhash_vote; the signed value assembly
-    # mirrors D.simhash_value_col (bit 0 contributes -2^63).
+    # mirrors D.simhash_signatures (bit 0 contributes -2^63). The Spark
+    # side computes the same bits via word-unpacked shift/AND arithmetic —
+    # equivalent by 2·s > n ⇔ vote-sum > 0.
     bit_sums = ",\n  ".join(
         "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, %d, 1)) - 1) & %d) != 0 "
         "THEN 1 ELSE -1 END) AS b%d" % (j // 2 + 1, 8 if j % 2 == 0 else 4, j)

@@ -188,40 +188,53 @@ def simhash_vote(hx: Column, j: int) -> Column:
     return F.when(nibble.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1))
 
 
-def simhash_value_col(prefix: str = "b") -> Column:
-    """Assemble the signed 64-bit signature from per-bit vote sums.
-
-    Two's complement, overflow-free in ANSI mode: bit 0 (the sign bit)
-    contributes ``-2^63`` when set, bits 1..63 contribute positive powers —
-    every partial sum fits in a BIGINT on both engines.
-    """
-    value = F.when(F.col(f"{prefix}0") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
-    for j in range(1, SIMHASH_BITS):
-        value = value + F.when(
-            F.col(f"{prefix}{j}") > 0, F.lit(1 << (SIMHASH_BITS - 1 - j))
-        ).otherwise(F.lit(0))
-    return value.cast("long")
-
-
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over distinct lowercase whitespace tokens.
 
     Bit j is the sign of the sum over distinct tokens of ±1 votes derived
-    from md5 nibble bits (``simhash_vote``). Computed as one explode +
-    64-way partial-sum aggregate — the map-side combine reduces each task
-    to 64 longs per document before the (narrow) shuffle, the same shape
-    ``minhash_signatures`` uses. Documents with no tokens get signature 0
+    from md5 nibble bits (``simhash_vote`` documents the bit layout).
+    Computed as one explode + 64-way partial-sum aggregate — the map-side
+    combine reduces each task to 65 longs per document before the (narrow)
+    shuffle, the same shape ``minhash_signatures`` uses.
+
+    Hot-path formulation: the digest is unpacked ONCE per token into four
+    32-bit words (``conv`` hex→long), so each per-bit aggregate is
+    ``SUM((word >> shift) & 1)`` — pure integer ops, no per-bit string
+    slicing (64 substring+instr per row benched ~2× slower). The ±1 vote
+    sum over n tokens is ``2·s − n``, so sign(vote sum) > 0 ⇔ 2·s > n —
+    identical bits to the vote definition and to the SQL oracle's
+    character-based formulation. Documents with no tokens get signature 0
     (every vote sum is empty ⇒ every bit 0), restored via a left join.
     """
     toks = F.array_distinct(tokens_col(F.lower(F.col(text_col))))
-    hashed = df.select("doc_id", F.explode(toks).alias("tok")).select(
-        "doc_id", F.md5("tok").alias("hx")
+    words = df.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(F.md5("tok"), 8 * k + 1, 8), 16, 10)
+            .cast("long")
+            .alias(f"w{k}")
+            for k in range(4)
+        ],
     )
-    aggs = [
-        F.sum(simhash_vote(F.col("hx"), j)).alias(f"b{j}") for j in range(SIMHASH_BITS)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*aggs)
-    sigs = sums.select("doc_id", simhash_value_col().alias("simhash"))
+
+    def bit_sum(j: int) -> Column:
+        p = j // 2  # hex-nibble index in the digest
+        word = F.col(f"w{p // 8}")
+        # Bit 3 (mask 8) of the nibble for even j, bit 2 (mask 4) for odd.
+        shift = 4 * (7 - p % 8) + (3 - j % 2)
+        return F.sum(F.shiftright(word, shift).bitwiseAND(F.lit(1))).alias(f"s{j}")
+
+    sums = words.groupBy("doc_id").agg(
+        F.count("*").alias("n"), *[bit_sum(j) for j in range(SIMHASH_BITS)]
+    )
+    value = F.when(F.lit(2) * F.col("s0") > F.col("n"), F.lit(-(1 << 63))).otherwise(
+        F.lit(0)
+    )
+    for j in range(1, SIMHASH_BITS):
+        value = value + F.when(
+            F.lit(2) * F.col(f"s{j}") > F.col("n"), F.lit(1 << (SIMHASH_BITS - 1 - j))
+        ).otherwise(F.lit(0))
+    sigs = sums.select("doc_id", value.cast("long").alias("simhash"))
     return df.select("doc_id").join(sigs, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash")
     )
