@@ -145,6 +145,60 @@ def lsh_banded_signatures(
     ).select("vec_id", "band.band_id", "band.bucket")
 
 
+def lsh_banded_signatures_arrow(
+    df: DataFrame,
+    dim: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
+) -> DataFrame:
+    """Production-rate banded signatures: one numpy matmul per Arrow batch.
+
+    Same (vec_id, band_id, bucket) rows as ``lsh_banded_signatures`` — the
+    expression twin keeps DuckDB-exact fold order for the oracle, this
+    path computes all ``n_bands × band_planes`` plane dots as a dense
+    (batch × dim) @ (dim × planes) product. Sign decisions agree with the
+    sequential fold whenever |dot| exceeds float summation-order noise
+    (~1e-13); a path-agreement test pins this on the test corpus, exactly
+    like ``ivf_assign_arrow``.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        hyperplanes(dim, n_bands * band_planes), dtype=np.float64
+    )  # (P, dim)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )
+            bits = (vecs @ planes.T) > 0  # (n, P) booleans
+            ids = batch[id_col].to_numpy()
+            out_ids, out_bands, out_buckets = [], [], []
+            for b in range(n_bands):
+                chunk = bits[:, b * band_planes : (b + 1) * band_planes]
+                buckets = [
+                    "".join("1" if x else "0" for x in row) for row in chunk
+                ]
+                out_ids.extend(ids)
+                out_bands.extend([b] * len(ids))
+                out_buckets.extend(buckets)
+            yield pd.DataFrame(
+                {"vec_id": out_ids, "band_id": out_bands, "bucket": out_buckets}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        batches, schema=f"vec_id {id_type}, band_id int, bucket string"
+    )
+
+
 #: Default IVF codebook size (cells), CONSTANT in corpus size — the stride
 #: that samples centroids is derived as ``max(1, N // IVF_TARGET_CELLS)``,
 #: so the driver-collected codebook never grows past ~64k entries no matter
@@ -351,6 +405,7 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     n_bands: int = N_BANDS,
     band_planes: int = BAND_PLANES,
+    signature_path: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, banded-LSH blocked.
 
@@ -362,8 +417,15 @@ def embedding_near_dup(
     cardinality is 2^band_planes per table, so selectivity is tuned to
     corpus size by widening bands — the single-table 2^8 layout this
     replaces degenerated at scale.
+
+    ``signature_path="arrow"`` (default) computes bucket bits with one
+    numpy matmul per Arrow batch; ``"expr"`` is the interpreted
+    higher-order-function twin with oracle-exact fold order.
     """
-    bands = lsh_banded_signatures(
+    sig_fn = (
+        lsh_banded_signatures_arrow if signature_path == "arrow" else lsh_banded_signatures
+    )
+    bands = sig_fn(
         df, dim, vec_col=vec_col, id_col=id_col, n_bands=n_bands, band_planes=band_planes
     )
     left, right = bands.alias("l"), bands.alias("r")

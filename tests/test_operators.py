@@ -286,8 +286,30 @@ def test_embedding_near_dup_threshold(spark):
     dup = [0.6, 0.8, 0.0, 0.0]
     ortho = [0.0, 0.0, 1.0, 0.0]
     df = _emb_df(spark, [(1, dup), (2, dup), (3, ortho)])
-    pairs = {(r.vec_a, r.vec_b): r.cosine for r in embedding_near_dup(df, 4).collect()}
-    assert pairs == {(1, 2): 1.0}
+    for path in ("arrow", "expr"):
+        pairs = {
+            (r.vec_a, r.vec_b): r.cosine
+            for r in embedding_near_dup(df, 4, signature_path=path).collect()
+        }
+        assert pairs == {(1, 2): 1.0}, path
+
+
+def test_lsh_banded_signatures_arrow_matches_expression_path(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        lsh_banded_signatures,
+        lsh_banded_signatures_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr = {
+        (r.vec_id, r.band_id): r.bucket for r in lsh_banded_signatures(emb, 64).collect()
+    }
+    fast = {
+        (r.vec_id, r.band_id): r.bucket
+        for r in lsh_banded_signatures_arrow(emb, 64).collect()
+    }
+    assert len(expr) == len(fast) == 2000  # 500 vectors × 4 bands
+    assert expr == fast
 
 
 def test_sample_frames_offsets_and_cap(spark):
