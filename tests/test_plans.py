@@ -76,8 +76,42 @@ def test_ivf_assignment_has_no_shuffle(spark):
     )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    plan = plan_of(S.ivf_assign(emb, S.ivf_centroids(emb)))
+    plan = plan_of(S.ivf_assign(emb, S.ivf_centroids(emb, target_cells=10)))
     assert "Exchange" not in plan  # codebook is inlined; pure projection
+
+
+def test_simhash_signature_agg_is_partial_and_integer_only(spark):
+    q = entrymod.queries()["simhash_signatures"](spark, SF_DIR)
+    plan = plan_of(q)
+    # Two-phase hash aggregate: map-side partial sums before the shuffle.
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan
+    # The shuffle is keyed on doc_id, not on token/text payloads.
+    exchange_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert exchange_lines and all("tok" not in l for l in exchange_lines)
+
+
+def test_simhash_near_pairs_joins_on_block_values(spark):
+    q = entrymod.queries()["simhash_near_pairs"](spark, SF_DIR)
+    plan = plan_of(q)
+    key_lines = [l for l in plan.splitlines() if "keys [" in l]
+    assert key_lines, plan
+    # Join keys are block slices of the signature — never text.
+    assert any("block_val" in l for l in key_lines)
+    assert all("text" not in l for l in key_lines)
+
+
+def test_embedding_near_dup_arrow_candidates_are_narrow(spark):
+    q = entrymod.queries()["embedding_near_dup"](spark, SF_DIR)
+    plan = plan_of(q)
+    assert "MapInPandas" in plan  # Arrow matmul signature path
+    assert "BatchEvalPython" not in plan
+    key_lines = [l for l in plan.splitlines() if "keys [" in l]
+    assert key_lines, plan
+    # Candidate join keys on (band_id, bucket); vectors join back by id only.
+    assert any("bucket" in l for l in key_lines)
+    assert all("embedding" not in l for l in key_lines)
 
 
 def test_sample_frames_stays_jvm_side(spark):
