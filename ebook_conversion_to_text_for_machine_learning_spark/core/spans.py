@@ -54,83 +54,92 @@ def assemble_output_spans(
     markers are zero-width and flush the current text span. A leading break
     that survives the sink's lstrip is retyped to ``text`` so the first span
     of a document is never ``chapter_break`` (FIXTURES.md invariant 3).
+
+    Single fused pass (the fold's hottest helper — this used to be three
+    list passes). Invariants that make the fusion exact:
+
+    - glue sits between two string atoms (media is transparent), so a glue
+      segment is break-adjacent iff the previous surviving string atom or
+      the current atom is a break;
+    - the sink lstrip consumes segments only at the very front, before any
+      payload survives, so ``stripping`` implies no surviving predecessor
+      (``prev_kind is None``) — dropped segments can never sit between
+      survivors;
+    - a glue that survives the strip turns stripping off before its
+      following atom is examined, so "glue survived but atom dropped" is
+      impossible.
     """
-    # 1) Interleave joiner glue between consecutive string atoms; media
-    #    atoms are transparent to joining.
-    segments: List[Tuple[str, str]] = []  # (type T|B|G|M, payload)
-    seen_string = False
-    for kind, payload in atoms:
-        if kind == "M":
-            segments.append(("M", payload or ""))
-            continue
-        if seen_string and joiner:
-            segments.append(("G", joiner))
-        elif seen_string:
-            pass  # empty joiner: no glue segment
-        segments.append((kind, break_text if kind == "B" else (payload or "")))
-        seen_string = True
-
-    # 2) Sink-side lstrip over the concatenated string (char-class strip).
     strip_set = frozenset(lstrip_chars)
-    stripped: List[Tuple[str, str]] = []
     stripping = bool(strip_set)
-    for typ, payload in segments:
-        if stripping and typ != "M":
-            payload = _lstrip_chars(payload, strip_set)
-            if not payload:
-                continue  # segment fully consumed by the strip
-            stripping = False
-        stripped.append((typ, payload))
-    segments = stripped
-
-    # 3) Group into spans.
-    def _is_break_adjacent(idx: int) -> bool:
-        """Is the glue at ``idx`` next to a break marker (skipping media)?"""
-        j = idx - 1
-        while j >= 0 and segments[j][0] == "M":
-            j -= 1
-        if j >= 0 and segments[j][0] == "B":
-            return True
-        j = idx + 1
-        while j < len(segments) and segments[j][0] == "M":
-            j += 1
-        return j < len(segments) and segments[j][0] == "B"
 
     spans: List[Tuple[str, str, str]] = []
-    buffer: List[str] = []
+    text_parts: List[str] = []
+    break_parts: List[str] = []
+    seen_string = False  # any string atom so far → glue before the next one
+    prev_kind: Optional[str] = None  # last SURVIVING string segment kind
 
     def _flush_text() -> None:
-        if buffer:
-            spans.append((KIND_TEXT, "".join(buffer), ""))
-            buffer.clear()
+        if text_parts:
+            spans.append((KIND_TEXT, "".join(text_parts), ""))
+            text_parts.clear()
 
-    i = 0
-    n = len(segments)
-    while i < n:
-        typ, payload = segments[i]
-        if typ == "M":
+    def _flush_break() -> None:
+        if break_parts:
+            spans.append((KIND_BREAK, "".join(break_parts), ""))
+            break_parts.clear()
+
+    for kind, payload in atoms:
+        if kind == "M":
+            _flush_break()
             _flush_text()
-            spans.append((KIND_MEDIA, "", payload))
-            i += 1
-        elif typ == "B" or (typ == "G" and _is_break_adjacent(i)):
-            _flush_text()
-            run: List[str] = []
-            while i < n:
-                t, p = segments[i]
-                if t == "B" or (t == "G" and _is_break_adjacent(i)):
-                    run.append(p)
-                    i += 1
+            spans.append((KIND_MEDIA, "", payload or ""))
+            continue
+
+        text = break_text if kind == "B" else (payload or "")
+        glue = joiner if (seen_string and joiner) else ""
+        seen_string = True
+
+        if stripping:
+            if glue:
+                glue = _lstrip_chars(glue, strip_set)
+            if glue:
+                stripping = False  # glue survived → atom text is NOT stripped
+            else:
+                text = _lstrip_chars(text, strip_set)
+                if not text:
+                    continue  # whole segment consumed; invisible to grouping
+                stripping = False
+                # glue was fully consumed (or absent): only the text remains.
+                if kind == "B":
+                    _flush_text()
+                    break_parts.append(text)
                 else:
-                    break
-            spans.append((KIND_BREAK, "".join(run), ""))
-        else:  # T, or glue between two text chunks
-            buffer.append(payload)
-            i += 1
+                    _flush_break()
+                    text_parts.append(text)
+                prev_kind = kind
+                continue
+
+        if glue:
+            if prev_kind == "B" or kind == "B":
+                _flush_text()
+                break_parts.append(glue)
+            else:
+                _flush_break()
+                text_parts.append(glue)
+        if kind == "B":
+            _flush_text()
+            break_parts.append(text)
+        else:
+            _flush_break()
+            text_parts.append(text)
+        prev_kind = kind
+
+    _flush_break()
     _flush_text()
 
-    # 4) Invariant 3: the first string span is never a chapter_break (the
-    #    sink's strip removed the canonical leading separator; any residue is
-    #    plain text as far as downstream consumers are concerned).
+    # Invariant 3: the first string span is never a chapter_break (the
+    # sink's strip removed the canonical leading separator; any residue is
+    # plain text as far as downstream consumers are concerned).
     for idx, (kind, text, ref) in enumerate(spans):
         if kind == KIND_MEDIA:
             continue
