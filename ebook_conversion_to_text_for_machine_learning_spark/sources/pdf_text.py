@@ -254,7 +254,10 @@ class _PdfFile:
             if f is None:
                 continue
             if str(f) == "FlateDecode":
-                out = zlib.decompress(out)
+                try:
+                    out = zlib.decompress(out)
+                except zlib.error as e:  # corrupt stream → parse error
+                    raise ValueError(f"FlateDecode failed: {e}") from e
             else:  # unsupported filter (DCT etc.) — not a text stream
                 return b""
         return out
@@ -269,10 +272,14 @@ class _PdfFile:
                 root_pages = body.get("Pages")
                 break
         ordered: List[int] = []
+        visited: set = set()  # corrupt Kids graphs can cycle
 
         def walk(ref) -> None:
             if not isinstance(ref, _Ref) or ref.num not in self.objects:
                 return
+            if ref.num in visited:
+                return
+            visited.add(ref.num)
             body, _s = self.objects[ref.num]
             t = str(body.get("Type"))
             if t == "Pages":

@@ -433,3 +433,64 @@ def test_compat_exceptions_and_exports(tmp_path):
     pkg.set_logger(probe)
     pkg.logger.error("hello")
     assert probe.messages == ["hello"]
+
+
+def test_pdf_reader_25_page_cap(tmp_path):
+    """The reference caps extraction at 25 pages (pdf_converter.py:56
+    maxpages=25); the pure reader must truncate identically."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    pages = [[f"Page {i} text "] for i in range(30)]
+    data, _ = build_pdf(pages)
+    f = tmp_path / "long.pdf"
+    f.write_bytes(data)
+    spans = pdf_file_to_spans(f)
+    kinds = [k for k, _t, _r, _o in spans]
+    texts = [t for k, t, _r, _o in spans if k == "line"]
+    assert kinds.count("page_break") == 24  # 25 pages kept
+    assert texts[0] == "Page 0 text \n" and texts[-1] == "Page 24 text \n"
+
+
+def test_pdf_reader_never_crashes_on_garbage(tmp_path):
+    """Corrupt bytes must surface as PDFConversionError (quarantinable),
+    never an unhandled exception — at lake scale a damaged file cannot be
+    allowed to kill a task (bytes_to_spans quarantine path)."""
+    import random
+
+    from ebook_conversion_to_text_for_machine_learning_spark.compat import (
+        PDFConversionError,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        pdf_bytes_to_rows,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    rng = random.Random(99)
+    base, _ = build_pdf([["Hello there "], ["Second page "]], compress=True)
+    for trial in range(60):
+        data = bytearray(base)
+        # Random byte corruption + truncation.
+        for _ in range(rng.randint(1, 30)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        if rng.random() < 0.5:
+            data = data[: rng.randrange(1, len(data))]
+        try:
+            pdf_bytes_to_rows(bytes(data))
+        except (ValueError, KeyError, EOFError, OSError):
+            pass  # the error classes file_ingest maps to PDFConversionError
+
+    # And through the wrapper: always PDFConversionError or success.
+    for trial in range(20):
+        data = bytearray(base)
+        for _ in range(10):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        f = tmp_path / "fuzz.pdf"
+        f.write_bytes(bytes(data))
+        try:
+            pdf_file_to_spans(f)
+        except PDFConversionError:
+            pass
