@@ -503,7 +503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lsh_ann_topk(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
         probes = emb.where(F.col("vec_id") < 10)
-        out = S.lsh_ann_topk(emb, probes, EMBED_DIM, k=5)
+        # Banded candidates (8-plane bands at test scale; 4×16 production
+        # defaults), Arrow matmul signatures.
+        out = S.lsh_ann_topk(
+            emb, probes, EMBED_DIM, k=5,
+            n_bands=_ND_BANDS, band_planes=_ND_BAND_PLANES,
+        )
         return out.select("probe_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
     q["lsh_ann_topk"] = lsh_ann_topk
@@ -917,11 +922,18 @@ SELECT probe_id, item_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk
 SELECT vec_id, {_sql_lsh_bucket("embedding")} AS bucket FROM embeddings"""
 
     o["lsh_ann_topk"] = f"""
-WITH sigs AS (SELECT vec_id, embedding, {_sql_lsh_bucket("embedding")} AS bucket FROM embeddings),
-probes AS (SELECT * FROM sigs WHERE vec_id < 10),
+WITH banded AS ({_sql_banded_bucket_selects("embeddings")}),
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS item_id
+  FROM banded p JOIN banded c
+    ON c.band_id = p.band_id AND c.bucket = p.bucket AND c.vec_id != p.vec_id
+  WHERE p.vec_id < 10),
 pairs AS (
-  SELECT p.vec_id AS probe_id, c.vec_id AS item_id, {cosine} AS cosine
-  FROM probes p JOIN sigs c ON c.bucket = p.bucket AND c.vec_id != p.vec_id),
+  SELECT cand.probe_id, cand.item_id,
+         {_SQL_COSINE.format(p="pe.embedding", c="ce.embedding")} AS cosine
+  FROM cand
+  JOIN embeddings pe ON pe.vec_id = cand.probe_id
+  JOIN embeddings ce ON ce.vec_id = cand.item_id),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, item_id) AS rnk
   FROM pairs)

@@ -460,18 +460,43 @@ def lsh_ann_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
+    signature_path: str = "arrow",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking restricted to bucket collisions."""
+    """Approximate top-k: exact cosine ranked over banded-LSH candidates.
+
+    Candidates are (probe, item) pairs colliding in ≥1 of ``n_bands``
+    independent ``band_planes``-bit tables — recall comes from the band
+    count, selectivity from the band width, both tunable to corpus size
+    (a single 2^8 table degenerates to scanning ~N/256 items per probe at
+    lake scale). The probe side is broadcast; the corpus side is touched
+    once to band and once to fetch candidate vectors by id. Signatures
+    default to the Arrow matmul path (``"expr"`` = oracle fold-order twin).
+    """
     from pyspark.sql.window import Window
 
-    c_sig = lsh_bucket_signatures(corpus, dim, vec_col=vec_col, id_col=id_col)
-    p_sig = lsh_bucket_signatures(probes, dim, vec_col=vec_col, id_col=id_col)
-    c = corpus.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec")).join(
-        c_sig.select(F.col("vec_id").alias("item_id"), "bucket"), "item_id"
+    sig_fn = (
+        lsh_banded_signatures_arrow if signature_path == "arrow" else lsh_banded_signatures
     )
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")).join(
-        p_sig.select(F.col("vec_id").alias("probe_id"), F.col("bucket").alias("pbucket")),
-        "probe_id",
+    c_bands = sig_fn(
+        corpus, dim, vec_col=vec_col, id_col=id_col, n_bands=n_bands, band_planes=band_planes
+    ).select(F.col("vec_id").alias("item_id"), "band_id", "bucket")
+    p_bands = sig_fn(
+        probes, dim, vec_col=vec_col, id_col=id_col, n_bands=n_bands, band_planes=band_planes
+    ).select(F.col("vec_id").alias("probe_id"), "band_id", "bucket")
+    candidates = (
+        c_bands.join(
+            F.broadcast(p_bands),
+            ["band_id", "bucket"],
+        )
+        .where(F.col("probe_id") != F.col("item_id"))
+        .select("probe_id", "item_id")
+        .distinct()
+    )
+    items = corpus.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"))
+    probe_vecs = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
     cosine = F.round(
         _dot(F.col("probe_vec"), F.col("item_vec"))
@@ -479,10 +504,8 @@ def lsh_ann_topk(
         4,
     )
     scored = (
-        c.join(
-            F.broadcast(p),
-            (F.col("bucket") == F.col("pbucket")) & (F.col("probe_id") != F.col("item_id")),
-        )
+        candidates.join(items, "item_id")
+        .join(F.broadcast(probe_vecs), "probe_id")
         .select("probe_id", "item_id", cosine.alias("cosine"))
     )
     window = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("item_id"))
