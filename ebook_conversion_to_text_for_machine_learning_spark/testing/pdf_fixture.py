@@ -17,9 +17,13 @@ from __future__ import annotations
 import zlib
 from typing import Dict, List, Sequence, Tuple, Union
 
-#: A page item: a text line (shown verbatim, one layout line) or the
-#: marker tuple ("img",) for a 1×1 image XObject.
-PageItem = Union[str, Tuple[str]]
+#: A page item: a text line (shown verbatim, one layout line) or an image
+#: marker — ``("img",)`` for a default 1×1 gray XObject, or
+#: ``("img", spec)`` with a dict of ``width``/``height``/``bpc``/
+#: ``color_space``/``filter`` ("FlateDecode" | "DCTDecode" | None) /
+#: ``data`` (raw pixel or JPEG bytes) to exercise the image-decode
+#: pipeline's gates and paths.
+PageItem = Union[str, tuple]
 
 
 def _escape(text: str) -> bytes:
@@ -120,13 +124,24 @@ def build_pdf(
             streams[content_nums[pi]] = content
             bodies[content_nums[pi]] = f"<< /Length {len(content)} >>".encode()
 
-        for num in image_nums[pi]:
-            pixel = b"\x00"
-            streams[num] = pixel
+        specs = [it[1] if len(it) > 1 else {} for it in items if not isinstance(it, str)]
+        for num, spec in zip(image_nums[pi], specs):
+            width = spec.get("width", 1)
+            height = spec.get("height", 1)
+            bpc = spec.get("bpc", 8)
+            cs = spec.get("color_space", "DeviceGray")
+            filt = spec.get("filter")
+            raw = spec.get("data", b"\x00")
+            if filt == "FlateDecode":
+                payload = zlib.compress(raw)
+            else:  # raw or DCTDecode (JPEG bytes stored verbatim)
+                payload = raw
+            filter_entry = f" /Filter /{filt}" if filt else ""
+            streams[num] = payload
             bodies[num] = (
-                f"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
-                f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
-                f"/Length {len(pixel)} >>"
+                f"<< /Type /XObject /Subtype /Image /Width {width} "
+                f"/Height {height} /ColorSpace /{cs} /BitsPerComponent {bpc}"
+                f"{filter_entry} /Length {len(payload)} >>"
             ).encode()
 
     # --- serialize with a correct xref table -----------------------------
