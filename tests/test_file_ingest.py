@@ -278,18 +278,28 @@ def test_ingest_files_distributed(spark, tmp_path):
         ingest_files_distributed,
     )
 
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
     (tmp_path / "a.txt").write_text("Chapter 1\nHello there.", encoding="utf-8")
     _write_epub(
         tmp_path / "b.epub",
         [("Text/c1.xhtml", "<p>Chapter One</p><p>Epub body text.</p>")],
     )
     (tmp_path / "c.docx").write_bytes(b"not a zip at all")  # quarantine path
+    pdf_data, _ = build_pdf([["Chapter 1 "], ["Pdf body text. "]], compress=True)
+    (tmp_path / "d.pdf").write_bytes(pdf_data)
+    (tmp_path / "e.pdf").write_bytes(b"%PDF-1.4 but truncated junk")  # quarantine
 
     df = ingest_files_distributed(spark, str(tmp_path))
     out = {r.doc_id.rsplit("/", 1)[-1]: r for r in extract_spans(df).collect()}
     assert "".join(s.text for s in out["a.txt"].spans) == "\nHello there."
     assert "".join(s.text for s in out["b.epub"].spans) == "Epub body text."
     assert out["c.docx"].status == "unknown_format" and out["c.docx"].spans == []
+    # X5 joining: sentence-ending lines are rstripped before the newline.
+    assert "".join(s.text for s in out["d.pdf"].spans) == "Pdf body text.\n"
+    assert out["e.pdf"].status == "unknown_format" and out["e.pdf"].spans == []
 
 
 def test_ingest_files_into_spark(spark, tmp_path):
