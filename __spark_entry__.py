@@ -132,6 +132,62 @@ def _golden_values_sql() -> str:
     )
 
 
+def _pdf_file_corpus() -> list:
+    """Deterministic in-memory corpus of REAL PDF files (no external data):
+    five well-formed FlateDecode documents (one carrying an image XObject)
+    plus one corrupt file for the quarantine path."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    corpus = []
+    for i in range(5):
+        pages = [
+            [f"{fx.TITLE} "],
+            [f"Chapter {1 + (i % 2)} ", f"Body paragraph number {i}. "],
+            [f"Closing line {i} ", " "],
+        ]
+        if i == 3:  # one doc exercises the image→media_ref path
+            pages[1] = [("img",)] + pages[1]
+        data, _ids = build_pdf(pages, compress=True)
+        corpus.append((f"mem://book_{i}.pdf", data))
+    corpus.append(("mem://broken.pdf", b"%PDF-1.4 truncated garbage, no objects"))
+    return corpus
+
+
+def _pdf_files_values_sql() -> str:
+    """Expected per-document extraction for the in-memory PDF corpus,
+    computed by the pure-Python twin of the distributed path: the SAME
+    stdlib PDF parser (``bytes_to_spans``) and the SAME pure-core fold
+    (``extract_document``), no Spark, no Arrow — so the oracle checks the
+    binary-batch plumbing end-to-end over real files."""
+    from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
+        extract_document,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+        bytes_to_spans,
+    )
+
+    rows = []
+    for name, data in _pdf_file_corpus():
+        try:
+            fmt, spans = bytes_to_spans(name, data)
+        except Exception:
+            fmt, spans = "error", []
+        out, status = extract_document(fmt, [(k, t, r) for k, t, r, _o in spans], None, None)
+        n_media = sum(1 for k, _t, _r, _o in out if k == "media_ref")
+        text = "".join(t for _k, t, _r, _o in out)
+        rows.append(
+            f"({_sql_quote(name)}, {_sql_quote(fmt)}, {_sql_quote(status)}, "
+            f"{len(out)}, {n_media}, {_sql_quote(text)})"
+        )
+    return (
+        "SELECT doc_id, fmt, status, CAST(n_spans AS BIGINT) AS n_spans, "
+        "CAST(n_media AS BIGINT) AS n_media, extracted_text "
+        f"FROM (VALUES {', '.join(rows)}) AS t(doc_id, fmt, status, n_spans, n_media, extracted_text)"
+    )
+
+
 def _random_corpus_values_sql() -> str:
     """Expected (fmt, status) aggregate for the seed-42 random corpus.
 
@@ -302,6 +358,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["extract_random_corpus"] = extract_random_corpus
+
+    def extract_pdf_files(spark, sf_dir):
+        """Real .pdf bytes → stdlib parse (Arrow-batched) → extraction."""
+        from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+            spans_from_binary_df,
+        )
+
+        corpus = _pdf_file_corpus()
+        bin_df = spark.createDataFrame(
+            [(name, data) for name, data in corpus], "path string, content binary"
+        )
+        extracted = extract_spans(spans_from_binary_df(bin_df))
+        return extracted.select(
+            "doc_id",
+            "fmt",
+            "status",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_media").cast("long").alias("n_media"),
+            F.array_join(F.transform("spans", lambda s: s["text"]), "").alias("extracted_text"),
+        )
+
+    q["extract_pdf_files"] = extract_pdf_files
 
     def training_data_prep(spark, sf_dir):
         from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
@@ -561,6 +639,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_samples"] = frame_samples
 
+    def resize_media(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        payloads = M.attach_payloads(docs, "doc_id", "text", "image")
+        out = M.resize_media_stub(payloads, target_w=8, target_h=8)
+        return out.select(
+            "media_id",
+            F.col("target_w").cast("int").alias("target_w"),
+            F.col("target_h").cast("int").alias("target_h"),
+            F.col("resized_bytes").cast("long").alias("resized_bytes"),
+            "resized_md5",
+            "status",
+        )
+
+    q["resize_media"] = resize_media
+
+    def transcript_enrichment(spark, sf_dir):
+        """Sidecar OCR-transcript splice (M5 north_star path) as a query:
+        every doc gets a line + img span; even doc_ids have a sidecar row
+        whose transcript overwrites the img text, odd ones keep ''."""
+        from ebook_conversion_to_text_for_machine_learning_spark.operators.transcripts import (
+            apply_transcripts,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        spans = F.array(
+            F.struct(
+                F.lit("line").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("img").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("img-"), F.col("doc_id")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        )
+        spans_df = docs.select("doc_id", spans.alias("spans"))
+        sidecar = docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            F.concat(F.lit("img-"), F.col("doc_id")).alias("media_ref"),
+            F.upper(F.substring("text", 1, 20)).alias("transcript"),
+        )
+        enriched = apply_transcripts(spans_df, sidecar)
+        s = F.explode("spans").alias("s")
+        return enriched.select("doc_id", s).select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").cast("int").alias("span_offset"),
+        )
+
+    q["transcript_enrichment"] = transcript_enrichment
+
     # --- relational shell (lineage/metrics-style aggregations + joins) ------
     def pricing_summary(spark, sf_dir):
         li = read_table(spark, sf_dir, "lineitem")
@@ -679,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["extract_goldens"] = _golden_values_sql()
     o["extract_random_corpus"] = _random_corpus_values_sql()
+    o["extract_pdf_files"] = _pdf_files_values_sql()
 
     o["extract_documents_txt"] = f"""
 WITH base AS (
@@ -1003,6 +1138,24 @@ SELECT media_id, 'image' AS media_type,
   CAST(length(substr(hx, i * {M.FRAME_STRIDE} * 2 + 1, {M.FRAME_SIZE} * 2)) // 2 AS BIGINT) AS frame_bytes,
   md5(substr(hx, i * {M.FRAME_STRIDE} * 2 + 1, {M.FRAME_SIZE} * 2)) AS frame_md5
 FROM f"""
+
+    _resize_target = 8 * 8
+    o["resize_media"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+  CAST(8 AS INT) AS target_w, CAST(8 AS INT) AS target_h,
+  CAST({_resize_target} AS BIGINT) AS resized_bytes,
+  md5(rpad(substr(hex(encode(text)), 1, {_resize_target * 2}), {_resize_target * 2}, '0')) AS resized_md5,
+  'stub_resized' AS status
+FROM documents"""
+
+    o["transcript_enrichment"] = """
+SELECT doc_id, 'line' AS kind, text, '' AS media_ref, CAST(0 AS INT) AS span_offset
+FROM documents
+UNION ALL
+SELECT doc_id, 'img' AS kind,
+  CASE WHEN doc_id % 2 = 0 THEN upper(substr(text, 1, 20)) ELSE '' END AS text,
+  'img-' || doc_id AS media_ref, CAST(1 AS INT) AS span_offset
+FROM documents"""
 
     o["media_features"] = """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -81,6 +81,9 @@ def main() -> None:
         "embedding_near_dup",
         "media_features",
         "frame_samples",
+        "resize_media",
+        "transcript_enrichment",
+        "extract_pdf_files",
         "pricing_summary",
         "nation_revenue",
         "events_hourly",

@@ -135,7 +135,9 @@ def resize_media_stub(
     The stub "resize" keeps the first ``target_w * target_h`` payload bytes
     (or zero-pads) so output size, schema, and batch shape match what a
     Pillow-backed resize would produce; ``decode_stub=False`` raises at the
-    exact call site where the codec belongs.
+    exact call site where the codec belongs. ``resized_md5`` fingerprints
+    the hex encoding of the bytes (same portability rule as
+    ``sample_frames``: SQL oracles lack a BLOB md5).
     """
     import hashlib
 
@@ -157,7 +159,9 @@ def resize_media_stub(
                         "target_w": target_w,
                         "target_h": target_h,
                         "resized_bytes": len(resized),
-                        "resized_md5": hashlib.md5(resized).hexdigest(),
+                        "resized_md5": hashlib.md5(
+                            resized.hex().upper().encode()
+                        ).hexdigest(),
                         "status": "stub_resized",
                     }
                 )

@@ -410,12 +410,12 @@ def bytes_to_spans(filename: str, data: bytes) -> Tuple[str, List[InSpan]]:
     raise ValueError(f"Unsupported file type: {suffix}")
 
 
-def ingest_files_distributed(spark, path_glob: str):
-    """Lake-scale ingest: ``binaryFile`` scan → Arrow-batched parsing.
+def spans_from_binary_df(binary_df):
+    """(path, content) DataFrame → contract-schema spans via Arrow batches.
 
-    Each executor task parses whole files from the binary source; unparseable
-    files become quarantine rows (``fmt='error'``, empty spans) instead of
-    task failures — at 10^12 files a corrupt zip must never kill a stage.
+    Each executor task parses whole files; unparseable files become
+    quarantine rows (``fmt='error'``, empty spans) instead of task
+    failures — at 10^12 files a corrupt zip must never kill a stage.
     """
     from typing import Iterator
 
@@ -424,8 +424,6 @@ def ingest_files_distributed(spark, path_glob: str):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
         INPUT_SCHEMA,
     )
-
-    binary = spark.read.format("binaryFile").load(path_glob).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -449,7 +447,13 @@ def ingest_files_distributed(spark, path_glob: str):
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in INPUT_SCHEMA.fields])
 
-    return binary.mapInPandas(parse, schema=INPUT_SCHEMA)
+    return binary_df.select("path", "content").mapInPandas(parse, schema=INPUT_SCHEMA)
+
+
+def ingest_files_distributed(spark, path_glob: str):
+    """Lake-scale ingest: ``binaryFile`` scan → Arrow-batched parsing."""
+    binary = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return spans_from_binary_df(binary)
 
 
 def ingest_files(spark, paths: List[str], metadata_by_path: Optional[dict] = None):

@@ -355,10 +355,13 @@ def test_resize_media_stub_pads_and_truncates(spark):
 
     df = spark.createDataFrame([(1, "abc"), (2, "z" * 100)], "doc_id long, text string")
     payloads = attach_payloads(df, "doc_id", "text", "image")
+    def hex_md5(data):
+        return hashlib.md5(data.hex().upper().encode()).hexdigest()
+
     rows = {r.media_id: r for r in resize_media_stub(payloads, target_w=4, target_h=4).collect()}
     assert rows["1"].resized_bytes == 16
-    assert rows["1"].resized_md5 == hashlib.md5(b"abc".ljust(16, b"\x00")).hexdigest()
-    assert rows["2"].resized_md5 == hashlib.md5(b"z" * 16).hexdigest()
+    assert rows["1"].resized_md5 == hex_md5(b"abc".ljust(16, b"\x00"))
+    assert rows["2"].resized_md5 == hex_md5(b"z" * 16)
 
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         resize_media_stub(payloads, decode_stub=False).collect()
