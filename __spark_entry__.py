@@ -155,6 +155,76 @@ def _pdf_file_corpus() -> list:
     return corpus
 
 
+def _ebook_file_corpus() -> list:
+    """Deterministic in-memory EPUB/DOCX/TXT corpus (plus one corrupt zip)
+    for the binary-ingest driver query — the zip-format sibling of
+    ``_pdf_file_corpus``."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.ebook_fixture import (
+        build_docx,
+        build_epub,
+    )
+
+    corpus = []
+    for i in range(3):
+        sections = [
+            ("Text/s1.xhtml", f"<p>Book number {i}</p>"),
+            (
+                "Text/s2.xhtml",
+                f"<p>Chapter One</p><p>Epub body paragraph {i}.</p>"
+                + ('<img src="cover.jpg"/>' if i == 2 else ""),
+            ),
+            ("Text/s3.xhtml", f"<p>Chapter 2</p><p>Second chapter text {i}.</p>"),
+        ]
+        corpus.append((f"mem://book_{i}.epub", build_epub(sections)))
+    for i in range(3):
+        paragraphs = [
+            (f"Doc title {i}", False, None),
+            ("Chapter 1", True, None),
+            (f"Docx body paragraph {i}.", False, None),
+            ("Chapter 2", True, "rId7" if i == 1 else None),
+            (f"Closing paragraph {i}.", False, None),
+        ]
+        corpus.append((f"mem://doc_{i}.docx", build_docx(paragraphs)))
+    corpus.append(
+        (
+            "mem://plain.txt",
+            "A Plain Title\n\nChapter 1\nTxt body line.\n2\nThe end.".encode("utf-8"),
+        )
+    )
+    corpus.append(("mem://broken.epub", b"PK\x03\x04 truncated central directory"))
+    return corpus
+
+
+def _ebook_files_values_sql() -> str:
+    """Pure-Python twin of ``extract_ebook_files`` (same parsers, same
+    fold, no Spark) emitted as a VALUES oracle."""
+    from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
+        extract_document,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+        bytes_to_spans,
+    )
+
+    rows = []
+    for name, data in _ebook_file_corpus():
+        try:
+            fmt, spans = bytes_to_spans(name, data)
+        except Exception:
+            fmt, spans = "error", []
+        out, status = extract_document(fmt, [(k, t, r) for k, t, r, _o in spans], None, None)
+        n_media = sum(1 for k, _t, _r, _o in out if k == "media_ref")
+        text = "".join(t for _k, t, _r, _o in out)
+        rows.append(
+            f"({_sql_quote(name)}, {_sql_quote(fmt)}, {_sql_quote(status)}, "
+            f"{len(out)}, {n_media}, {_sql_quote(text)})"
+        )
+    return (
+        "SELECT doc_id, fmt, status, CAST(n_spans AS BIGINT) AS n_spans, "
+        "CAST(n_media AS BIGINT) AS n_media, extracted_text "
+        f"FROM (VALUES {', '.join(rows)}) AS t(doc_id, fmt, status, n_spans, n_media, extracted_text)"
+    )
+
+
 def _pdf_files_values_sql() -> str:
     """Expected per-document extraction for the in-memory PDF corpus,
     computed by the pure-Python twin of the distributed path: the SAME
@@ -225,6 +295,8 @@ def _random_corpus_values_sql() -> str:
 
 
 def _sql_minhash_sig_cte() -> str:
+    # Slot i = min over shingles of substr(md5(g || ':' || i//4), (i%4)*8+1, 8)
+    # — mirrors D.minhash_signatures' digest-slicing hash family exactly.
     toks = _SQL_TOKENS.format(col="text")
     return f"""
 t AS (SELECT doc_id, {toks} AS toks FROM documents),
@@ -236,7 +308,8 @@ grams_t AS (
     ELSE [] END AS grams
   FROM t),
 sig AS (SELECT doc_id, {", ".join(
-        f"list_aggregate(list_transform(grams, g -> md5(g || ':{i}')), 'min') AS sig_{i}"
+        "list_aggregate(list_transform(grams, g -> substr(md5(g || ':%d'), %d, 8)), 'min') AS sig_%d"
+        % (i // 4, (i % 4) * 8 + 1, i)
         for i in range(D.MINHASH_K)
     )} FROM grams_t)"""
 
@@ -380,6 +453,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["extract_pdf_files"] = extract_pdf_files
+
+    def extract_ebook_files(spark, sf_dir):
+        """Real EPUB/DOCX/TXT bytes → stdlib zip/XML parse → extraction."""
+        from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
+            spans_from_binary_df,
+        )
+
+        corpus = _ebook_file_corpus()
+        bin_df = spark.createDataFrame(
+            [(name, data) for name, data in corpus], "path string, content binary"
+        )
+        extracted = extract_spans(spans_from_binary_df(bin_df))
+        return extracted.select(
+            "doc_id",
+            "fmt",
+            "status",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_media").cast("long").alias("n_media"),
+            F.array_join(F.transform("spans", lambda s: s["text"]), "").alias("extracted_text"),
+        )
+
+    q["extract_ebook_files"] = extract_ebook_files
 
     def training_data_prep(spark, sf_dir):
         from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
@@ -814,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
     o["extract_goldens"] = _golden_values_sql()
     o["extract_random_corpus"] = _random_corpus_values_sql()
     o["extract_pdf_files"] = _pdf_files_values_sql()
+    o["extract_ebook_files"] = _ebook_files_values_sql()
 
     o["extract_documents_txt"] = f"""
 WITH base AS (

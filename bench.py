@@ -84,6 +84,7 @@ def main() -> None:
         "resize_media",
         "transcript_enrichment",
         "extract_pdf_files",
+        "extract_ebook_files",
         "pricing_summary",
         "nation_revenue",
         "events_hourly",
