@@ -128,3 +128,40 @@ def test_extract_document_total_on_arbitrary_spans(fmt, spans, title, author):
     for kind, text, ref, _ in out:
         assert kind in ("text", "chapter_break", "media_ref")
         assert isinstance(text, str) and isinstance(ref, str)
+
+
+# --- PDF builder ↔ parser round trip ----------------------------------------
+
+# Latin-1-encodable text (the simple-font PDF string space), no control
+# chars that the content-stream tokenizer treats as whitespace.
+_pdf_line = st.text(
+    alphabet=st.characters(
+        codec="latin-1", blacklist_categories=("Cs", "Cc"),
+    ),
+    min_size=0,
+    max_size=60,
+)
+_pdf_page = st.lists(_pdf_line, min_size=1, max_size=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(pages=st.lists(_pdf_page, min_size=1, max_size=5))
+def test_pdf_build_parse_round_trip(pages):
+    """Any latin-1 text through build_pdf (incl. parens/backslashes that
+    need string escaping) must come back verbatim from the stdlib parser,
+    one line span per input line plus page_break markers."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        pdf_bytes_to_rows,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf(pages, compress=True)
+    rows = pdf_bytes_to_rows(data)
+    expected = []
+    for i, page in enumerate(pages):
+        if i:
+            expected.append(("page_break", "", ""))
+        expected.extend(("line", line + "\n", "") for line in page)
+    assert rows == expected
