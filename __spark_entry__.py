@@ -111,6 +111,13 @@ _BOILER_PATTERN = "^(?:%s)" % "|".join(
 
 _STOPWORD_SQL_LIST = "[%s]" % ", ".join(f"'{w}'" for w in T.STOPWORDS)
 
+#: Deterministic PII decoration for the scrub_pii driver query (the
+#: synthetic corpus itself contains no PII-shaped strings).
+_PII_SUFFIX = (
+    " visit https://example.com/a?user=1 mail bob.smith@ex-corp.io "
+    "or call +1 (555) 123-4567 now"
+)
+
 
 def _sql_quote(text: str) -> str:
     return "'" + text.replace("'", "''") + "'"
@@ -559,6 +566,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return T.fingerprints(read_table(spark, sf_dir, "documents"))
 
     q["fingerprints"] = fingerprints
+
+    # --- curation ----------------------------------------------------------
+    def scrub_pii(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+            curation as C,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        decorated = docs.withColumn("text", F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
+        return C.scrub_pii(decorated)
+
+    q["scrub_pii"] = scrub_pii
+
+    def chunk_documents(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+            curation as C,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        return C.chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+    q["chunk_documents"] = chunk_documents
+
+    def split_assign(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+            curation as C,
+        )
+
+        return C.split_assign(read_table(spark, sf_dir, "documents"))
+
+    q["split_assign"] = split_assign
 
     # --- dedup -------------------------------------------------------------
     def exact_dedup(spark, sf_dir):
@@ -1044,6 +1082,46 @@ FROM b"""
 
     o["fingerprints"] = """
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
+FROM documents"""
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+        curation as C,
+    )
+
+    _pii_text = f"text || '{_PII_SUFFIX}'"
+    o["scrub_pii"] = f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace({_pii_text},
+      '{C.URL_PATTERN}', '{C.URL_TOKEN}', 'g'),
+      '{C.EMAIL_PATTERN}', '{C.EMAIL_TOKEN}', 'g'),
+      '{C.PHONE_PATTERN}', '{C.PHONE_TOKEN}', 'g') AS scrubbed_text,
+  CAST(len(regexp_extract_all({_pii_text}, '{C.URL_PATTERN}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all({_pii_text}, '{C.EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all({_pii_text}, '{C.PHONE_PATTERN}')) AS BIGINT) AS n_phones
+FROM documents"""
+
+    _chunk, _step = 32, 24
+    o["chunk_documents"] = f"""
+WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks)::DOUBLE / {_step}) AS INT))) AS i
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+  CAST(i AS BIGINT) AS chunk_idx,
+  CAST(i * {_step} AS BIGINT) AS chunk_start,
+  array_to_string(toks[i * {_step} + 1 : i * {_step} + {_chunk}], ' ') AS chunk_text,
+  CAST(len(toks[i * {_step} + 1 : i * {_step} + {_chunk}]) AS BIGINT) AS n_chunk_tokens
+FROM s"""
+
+    _nib = "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {pos}, 1)) - 1"
+    _bucket = f"(({_nib.format(pos=1)}) * 16 + ({_nib.format(pos=2)}))"
+    o["split_assign"] = f"""
+SELECT doc_id,
+  CAST({_bucket} AS INT) AS bucket,
+  CASE WHEN {_bucket} < {C.TRAIN_UPPER} THEN 'train'
+       WHEN {_bucket} < {C.VAL_UPPER} THEN 'val'
+       ELSE 'test' END AS split
 FROM documents"""
 
     o["exact_dedup"] = """

@@ -73,6 +73,9 @@ def main() -> None:
         "ngram_jaccard",
         "token_stats",
         "quality_scores",
+        "scrub_pii",
+        "chunk_documents",
+        "split_assign",
         "language_id",
         "fingerprints",
         "cosine_topk",

@@ -1,0 +1,136 @@
+"""Corpus-curation operators: PII scrubbing, chunking, split assignment.
+
+The last mile of a training-data pipeline after extraction/dedup: redact
+obvious PII patterns, cut documents into fixed-size token chunks with
+overlap, and assign deterministic train/val/test splits. All three are
+pure built-in expressions (regexp / sequence / slice / md5 arithmetic) —
+no Python, no shuffle beyond what the caller does — and every pattern is
+portable between Spark's Java regex and DuckDB's RE2 (no backreferences,
+no lookaround) so each operator has an exact SQL oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
+    tokens_col,
+)
+
+#: Redaction patterns — deliberately RE2-safe (shared with the SQL oracle).
+#: URLs are scrubbed FIRST so their userinfo/query parts cannot later match
+#: the email/phone patterns.
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9() \-]{6,}[0-9]"
+
+URL_TOKEN = "<URL>"
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact URLs, emails, and phone-number-shaped runs; count each kind.
+
+    Counts are taken on the ORIGINAL text (so a URL containing an ``@``
+    still counts once as a URL and once as an email-shaped match, exactly
+    as the oracle sees it); replacements are applied in URL → email →
+    phone order.
+    """
+    text = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, URL_PATTERN, URL_TOKEN),
+            EMAIL_PATTERN,
+            EMAIL_TOKEN,
+        ),
+        PHONE_PATTERN,
+        PHONE_TOKEN,
+    )
+    return df.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)).cast("long").alias("n_urls"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), 0)).cast("long").alias("n_phones"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Cut each document into whitespace-token chunks with overlap.
+
+    Chunk ``i`` covers tokens ``[i·(chunk_tokens−overlap),
+    i·(chunk_tokens−overlap) + chunk_tokens)``; the last chunk may be
+    short; empty documents yield no chunks. One bounded ``explode`` per
+    document (≤ ⌈n/step⌉ rows), all slicing JVM-side — at corpus scale the
+    output is the training-sequence table and this is the whole plan.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    # Last start is (ceil(n/step)-1)*step, strictly below n by construction,
+    # so sequence's closed upper bound never emits an empty trailing chunk.
+    starts = F.when(
+        n > 0,
+        F.sequence(
+            F.lit(0),
+            (F.ceil(n.cast("double") / step) - 1).cast("int") * step,
+            F.lit(step),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select("doc_id", toks.alias("_toks"), F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            (F.col("chunk_start") / step).cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.array_join(F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens), " ").alias("chunk_text"),
+            F.size(F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens)).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+#: Split thresholds over the 0..255 bucket space (first two md5 hex chars):
+#: ~80% train, ~10% val, ~10% test.
+TRAIN_UPPER = 205
+VAL_UPPER = 230
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_bucket(id_col: Column) -> Column:
+    """0..255 bucket from the first two md5 hex chars — strpos arithmetic
+    only, so the SQL oracle computes the identical bucket."""
+    h = F.md5(id_col.cast("string"))
+    c1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    c2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return c1 * 16 + c2
+
+
+def split_assign(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic, rerun-stable train/val/test assignment by id hash.
+
+    Hash-based (not random) so resumed/incremental runs assign every
+    document identically with zero coordination — the property that
+    matters when the corpus arrives over months.
+    """
+    bucket = _hex_bucket(F.col(id_col))
+    split = (
+        F.when(bucket < TRAIN_UPPER, F.lit("train"))
+        .when(bucket < VAL_UPPER, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.cast("int").alias("bucket"),
+        split.alias("split"),
+    )

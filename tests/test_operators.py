@@ -409,3 +409,65 @@ def test_prepare_training_data_filters_and_dedups(spark):
     assert set(out) == {"a"}  # dup collapsed onto first keeper; c, d filtered
     assert out["a"].n_copies == 2
     assert out["a"].quality_score >= 0.5
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "mail me at a.b@corp.io or see https://x.io/p?a=1 call +44 20 7946 0958 ok"),
+            (2, "en", "no pii here at all"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert rows[1].scrubbed_text == "mail me at <EMAIL> or see <URL> call <PHONE> ok"
+    assert (rows[1].n_urls, rows[1].n_emails, rows[1].n_phones) == (1, 1, 1)
+    assert rows[2].scrubbed_text == "no pii here at all"
+    assert (rows[2].n_urls, rows[2].n_emails, rows[2].n_phones) == (0, 0, 0)
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "")], "doc_id long, text string"
+    )
+    chunks = sorted(
+        (r for r in chunk_documents(df, chunk_tokens=32, overlap=8).collect()),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    assert [r.doc_id for r in chunks] == [1, 1, 1]  # empty doc → no chunks
+    c0, c1, c2 = (r.chunk_text.split(" ") for r in chunks)
+    assert len(c0) == 32 and len(c1) == 26 and len(c2) == 2
+    assert c0[-8:] == c1[:8]  # overlap region shared verbatim
+    # Full coverage: the non-overlapping prefixes plus the tail reproduce
+    # the token stream exactly.
+    assert c0[:24] + c1[:24] + c2 == toks
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_split_assign_deterministic_distribution(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        split_assign,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    a = {r.doc_id: (r.bucket, r.split) for r in split_assign(df).collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in split_assign(df).collect()}
+    assert a == b  # rerun-stable
+    assert all(0 <= v[0] < 256 for v in a.values())
+    from collections import Counter
+
+    frac = Counter(v[1] for v in a.values())
+    assert 0.70 < frac["train"] / 1000 < 0.90
+    assert 0.04 < frac["val"] / 1000 < 0.16
+    assert 0.04 < frac["test"] / 1000 < 0.16
