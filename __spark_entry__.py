@@ -492,6 +492,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_data_prep"] = training_data_prep
 
+    def training_sequences(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
+            prepare_training_sequences,
+        )
+
+        return prepare_training_sequences(
+            documents_as_txt_spans(spark, sf_dir), chunk_tokens=32, overlap=8
+        )
+
+    q["training_sequences"] = training_sequences
+
     # --- scalar text ops (P1-P7) ----------------------------------------
     def fold_smart_punct(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
@@ -977,8 +988,7 @@ FROM line"""
         + " = '' THEN '' ELSE cleaned END, '*')"
     )
     _toks_ext = _SQL_TOKENS.format(col="extracted_text")
-    o["training_data_prep"] = f"""
-WITH base AS (
+    _train_prep_ctes = f"""base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
          {_SQL_PYSTRIP.format(col="text")} AS trimmed
   FROM documents
@@ -1005,13 +1015,55 @@ q AS (
          + 0.3 * (len(list_filter(toks, x -> list_contains({_STOPWORD_SQL_LIST}, lower(x))))::DOUBLE
                   / len(toks)::DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS quality_score
   FROM nz),
-f AS (SELECT * FROM q WHERE quality_score >= 0.5)
+f AS (SELECT * FROM q WHERE quality_score >= 0.5)"""
+
+    o["training_data_prep"] = f"""
+WITH {_train_prep_ctes}
 SELECT md5(extracted_text) AS text_hash,
        min(doc_id) AS keeper_doc_id,
        CAST(count(*) AS BIGINT) AS n_copies,
        min(quality_score) AS quality_score,
        min(extracted_text) AS extracted_text
 FROM f GROUP BY 1"""
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+        curation as _C,
+    )
+
+    _seq_chunk, _seq_step = 32, 24
+    _seq_toks = _SQL_TOKENS.format(col="text")
+    _seq_nib = "strpos('0123456789abcdef', substr(md5(doc_id), {pos}, 1)) - 1"
+    _seq_bucket = f"(({_seq_nib.format(pos=1)}) * 16 + ({_seq_nib.format(pos=2)}))"
+    o["training_sequences"] = f"""
+WITH {_train_prep_ctes},
+keep AS (
+  SELECT min(doc_id) AS doc_id, min(extracted_text) AS raw_text
+  FROM f GROUP BY md5(extracted_text)),
+scrub AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(raw_text,
+        '{_C.URL_PATTERN}', '{_C.URL_TOKEN}', 'g'),
+        '{_C.EMAIL_PATTERN}', '{_C.EMAIL_TOKEN}', 'g'),
+        '{_C.PHONE_PATTERN}', '{_C.PHONE_TOKEN}', 'g') AS text
+  FROM keep),
+tok AS (SELECT doc_id, {_seq_toks} AS toks FROM scrub),
+ch AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks)::DOUBLE / {_seq_step}) AS INT))) AS i
+  FROM tok WHERE len(toks) > 0),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN {_seq_bucket} < {_C.TRAIN_UPPER} THEN 'train'
+         WHEN {_seq_bucket} < {_C.VAL_UPPER} THEN 'val'
+         ELSE 'test' END AS split
+  FROM keep)
+SELECT ch.doc_id,
+  CAST(i AS BIGINT) AS chunk_idx,
+  CAST(i * {_seq_step} AS BIGINT) AS chunk_start,
+  array_to_string(toks[i * {_seq_step} + 1 : i * {_seq_step} + {_seq_chunk}], ' ') AS chunk_text,
+  CAST(len(toks[i * {_seq_step} + 1 : i * {_seq_step} + {_seq_chunk}]) AS BIGINT) AS n_chunk_tokens,
+  sp.split AS split
+FROM ch JOIN sp ON sp.doc_id = ch.doc_id"""
 
     decorated = "text || ' — “q”… ‘x’ •'"
     o["fold_smart_punct"] = (

@@ -64,6 +64,7 @@ def main() -> None:
     for name in (
         "extract_documents_txt",
         "training_data_prep",
+        "training_sequences",
         "exact_dedup",
         "minhash_signatures",
         "minhash_candidates",

@@ -116,6 +116,17 @@ def _hex_bucket(id_col: Column) -> Column:
     return c1 * 16 + c2
 
 
+def split_col(id_col: Column) -> Column:
+    """train/val/test as a pure column expression over the id — composable
+    into any plan without a join (an id's split never changes)."""
+    bucket = _hex_bucket(id_col)
+    return (
+        F.when(bucket < TRAIN_UPPER, F.lit("train"))
+        .when(bucket < VAL_UPPER, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def split_assign(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic, rerun-stable train/val/test assignment by id hash.
 
@@ -123,14 +134,8 @@ def split_assign(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     document identically with zero coordination — the property that
     matters when the corpus arrives over months.
     """
-    bucket = _hex_bucket(F.col(id_col))
-    split = (
-        F.when(bucket < TRAIN_UPPER, F.lit("train"))
-        .when(bucket < VAL_UPPER, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return df.select(
         F.col(id_col).alias("doc_id"),
-        bucket.cast("int").alias("bucket"),
-        split.alias("split"),
+        _hex_bucket(F.col(id_col)).cast("int").alias("bucket"),
+        split_col(F.col(id_col)).alias("split"),
     )

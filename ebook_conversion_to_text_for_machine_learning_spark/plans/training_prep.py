@@ -65,3 +65,48 @@ def prepare_training_data(
         F.min("quality_score").alias("quality_score"),
         F.min("extracted_text").alias("extracted_text"),
     )
+
+
+def prepare_training_sequences(
+    spans_df: DataFrame,
+    *,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """The complete curation chain: extract → quality-filter → exact dedup
+    → PII scrub → chunk → split-assign.
+
+    Output is the training-sequence table: one row per (keeper document ×
+    chunk) with its split assignment — what actually feeds a tokenizer at
+    10^12-document scale. Plan shape: everything after the dedup aggregate
+    is narrow per-row work (regexp scrub, bounded chunk explode, md5
+    bucket), so the whole chain keeps exactly ONE data shuffle (the dedup
+    hash aggregate); the chunk explode multiplies rows only after dedup
+    has already shrunk the corpus.
+    """
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        chunk_documents,
+        scrub_pii,
+        split_col,
+    )
+
+    keepers = prepare_training_data(spans_df, min_quality=min_quality).select(
+        F.col("keeper_doc_id").alias("doc_id"),
+        F.col("extracted_text").alias("text"),
+    )
+    scrubbed = scrub_pii(keepers).select(
+        "doc_id", F.col("scrubbed_text").alias("text")
+    )
+    chunks = chunk_documents(scrubbed, chunk_tokens=chunk_tokens, overlap=overlap)
+    # Split is a pure function of doc_id (curation.split_col), so it rides
+    # along as a projection — no join, keeping the dedup aggregate the only
+    # shuffle in the whole chain.
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        "chunk_text",
+        "n_chunk_tokens",
+        split_col(F.col("doc_id")).alias("split"),
+    )

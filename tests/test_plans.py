@@ -144,3 +144,17 @@ def test_resume_anti_join_is_anti(spark, tmp_path):
     done = docs.select("doc_id").limit(5).withColumn("status", F.lit("committed"))
     plan = plan_of(resume_filter(docs, done))
     assert "LeftAnti" in plan
+
+
+def test_training_sequences_single_data_shuffle(spark):
+    """The full curation chain (extract → quality → dedup → scrub → chunk →
+    split) must keep exactly ONE data shuffle — the dedup aggregate; the
+    quality self-join broadcasts and split assignment is a projection."""
+    import re
+
+    q = entrymod.queries()["training_sequences"](spark, SF_DIR)
+    plan = plan_of(q)
+    # formatted mode labels nodes "(N) Exchange" — count node headers.
+    headers = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M)
+    assert headers.count("Exchange") == 1, headers
+    assert "BatchEvalPython" not in plan
