@@ -628,11 +628,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ngram_jaccard(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
         grams = F.array_distinct(T.tokens_col(F.col("text")))
-        base = docs.select(
+        # Exact token interning: build a (token → unique id) dictionary and
+        # compare INT arrays instead of string arrays in the O(n²) verify —
+        # set sizes and intersections are invariant under the 1:1 mapping,
+        # so the SQL oracle is unchanged, while array_intersect on longs
+        # benches ~2.3× faster than on strings at sf0.1. The dictionary is
+        # broadcast (word-level vocabs are tiny relative to the corpus); at
+        # extreme vocab sizes drop the broadcast hint and let AQE decide.
+        tok = docs.select("doc_id", "lang", F.explode(grams).alias("t"))
+        vocab = tok.select("t").distinct().withColumn(
+            "tid", F.monotonically_increasing_id()
+        )
+        grouped = (
+            tok.join(F.broadcast(vocab), "t")
+            .groupBy("doc_id", "lang")
+            .agg(F.collect_list("tid").alias("grams"))
+        )
+        # Token-less docs vanish in the explode but the oracle keeps them
+        # (two empty sets pass the 2·|∩| ≥ |∪| filter as 0 ≥ 0): restore
+        # them with empty gram arrays.
+        interned = (
+            docs.select("doc_id", "lang")
+            .join(grouped, ["doc_id", "lang"], "left")
+            .select(
+                "doc_id",
+                "lang",
+                F.coalesce(F.col("grams"), F.array().cast("array<long>")).alias("grams"),
+            )
+        )
+        base = interned.select(
             "doc_id",
             F.col("lang").alias("block"),
-            grams.alias("grams"),
-            F.size(grams).alias("n_grams"),
+            F.col("grams"),
+            F.size("grams").alias("n_grams"),
         )
         left, right = base.alias("l"), base.alias("r")
         n_common = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams"))).cast("long")
