@@ -25,6 +25,8 @@ from __future__ import annotations
 import argparse
 import json
 
+from pyspark.sql import functions as F
+
 from ebook_conversion_to_text_for_machine_learning_spark.plans.pipeline import (
     run_extraction_job,
 )
@@ -38,6 +40,16 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--lineage", default=None)
     parser.add_argument("--metrics", default=None)
     parser.add_argument("--repartition", type=int, default=None)
+    parser.add_argument(
+        "--mode",
+        choices=("extract", "sequences"),
+        default="extract",
+        help="extract: spans out (default). sequences: full curation chain "
+        "(extract -> quality -> dedup -> scrub -> chunk -> split) to a "
+        "training-sequence table.",
+    )
+    parser.add_argument("--chunk-tokens", type=int, default=128)
+    parser.add_argument("--chunk-overlap", type=int, default=16)
     parser.add_argument("--master", default=None)
     parser.add_argument(
         "--catalog",
@@ -54,16 +66,36 @@ def main(argv: list[str] | None = None) -> None:
             input_df = spark.read.table(args.input)  # Iceberg / catalog table
         else:
             input_df = spark.read.parquet(args.input)
-        summary = run_extraction_job(
-            spark,
-            input_df,
-            args.output,
-            lineage_path=args.lineage,
-            metrics_path=args.metrics,
-            repartition=args.repartition,
-            catalog=args.catalog,
-        )
-        print(json.dumps(summary, default=str))
+        if args.mode == "sequences":
+            from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
+                prepare_training_sequences,
+            )
+
+            seqs = prepare_training_sequences(
+                input_df,
+                chunk_tokens=args.chunk_tokens,
+                overlap=args.chunk_overlap,
+            )
+            if args.catalog:
+                seqs.writeTo(args.output).append()
+            else:
+                seqs.write.mode("append").parquet(args.output)
+            counts = {
+                r["split"]: r["n"]
+                for r in seqs.groupBy("split").agg(F.count("*").alias("n")).collect()
+            }
+            print(json.dumps({"mode": "sequences", "chunks_by_split": counts}))
+        else:
+            summary = run_extraction_job(
+                spark,
+                input_df,
+                args.output,
+                lineage_path=args.lineage,
+                metrics_path=args.metrics,
+                repartition=args.repartition,
+                catalog=args.catalog,
+            )
+            print(json.dumps(summary, default=str))
     finally:
         spark.stop()
 

@@ -95,3 +95,43 @@ def test_spark_submit_with_py_files_zip(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == len(docs)
     parts = spark.read.parquet(str(tmp_path / "lineage") + "_partitions")
     assert parts.count() > 0
+
+
+def test_job_cli_sequences_mode(spark, tmp_path):
+    """--mode sequences runs the full curation chain via the CLI and writes
+    the training-sequence table."""
+    from tests import fixtures as fx
+    from tests.conftest import spans_df
+
+    docs = fx.random_corpus(40, seed=21)
+    in_dir = str(tmp_path / "in")
+    spans_df(spark, docs).write.parquet(in_dir)
+    out_dir = str(tmp_path / "seqs")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    result = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ebook_conversion_to_text_for_machine_learning_spark.plans.job",
+            "--input", in_dir,
+            "--output", out_dir,
+            "--mode", "sequences",
+            "--chunk-tokens", "32",
+            "--chunk-overlap", "8",
+            "--master", "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    summary = json.loads([l for l in result.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["mode"] == "sequences"
+    out = spark.read.parquet(out_dir)
+    assert set(out.columns) == {
+        "doc_id", "chunk_idx", "chunk_start", "chunk_text", "n_chunk_tokens", "split"
+    }
+    n = out.count()
+    assert n > 0 and n == sum(summary["chunks_by_split"].values())
+    assert out.agg({"n_chunk_tokens": "max"}).first()[0] <= 32
