@@ -76,14 +76,20 @@ def main(argv: list[str] | None = None) -> None:
                 chunk_tokens=args.chunk_tokens,
                 overlap=args.chunk_overlap,
             )
-            if args.catalog:
-                seqs.writeTo(args.output).append()
-            else:
-                seqs.write.mode("append").parquet(args.output)
-            counts = {
-                r["split"]: r["n"]
-                for r in seqs.groupBy("split").agg(F.count("*").alias("n")).collect()
-            }
+            # Persist across the write + summary so the chain (extraction
+            # included) runs once, not once per action.
+            seqs.persist()
+            try:
+                if args.catalog:
+                    seqs.writeTo(args.output).append()
+                else:
+                    seqs.write.mode("append").parquet(args.output)
+                counts = {
+                    r["split"]: r["n"]
+                    for r in seqs.groupBy("split").agg(F.count("*").alias("n")).collect()
+                }
+            finally:
+                seqs.unpersist()
             print(json.dumps({"mode": "sequences", "chunks_by_split": counts}))
         else:
             summary = run_extraction_job(

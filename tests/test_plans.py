@@ -158,3 +158,15 @@ def test_training_sequences_single_data_shuffle(spark):
     headers = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M)
     assert headers.count("Exchange") == 1, headers
     assert "BatchEvalPython" not in plan
+
+
+def test_ngram_jaccard_interns_tokens_before_pair_join(spark):
+    """The O(n²) verify must intersect interned LONG arrays: the vocab
+    dictionary joins broadcast, and no string gram array reaches the
+    pairwise block join."""
+    q = entrymod.queries()["ngram_jaccard"](spark, SF_DIR)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan  # vocab dictionary join
+    # The pair join condition intersects bigint arrays, not strings.
+    cond_lines = [l for l in plan.splitlines() if "array_intersect" in l]
+    assert cond_lines, plan
