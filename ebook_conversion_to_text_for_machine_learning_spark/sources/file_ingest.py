@@ -416,6 +416,12 @@ def spans_from_binary_df(binary_df):
     Each executor task parses whole files; unparseable files become
     quarantine rows (``fmt='error'``, empty spans) instead of task
     failures — at 10^12 files a corrupt zip must never kill a stage.
+
+    Memory bound: ``binaryFile`` packs at most ``maxPartitionBytes``
+    (default 128 MB) of whole files per partition, and an Arrow batch never
+    exceeds its partition, so the per-worker transfer is bounded by that
+    knob regardless of ``maxRecordsPerBatch`` — size it down for very
+    large ebooks.
     """
     from typing import Iterator
 
