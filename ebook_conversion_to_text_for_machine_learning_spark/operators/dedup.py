@@ -26,8 +26,14 @@ from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats im
     tokens_col,
 )
 
-#: MinHash configuration: k independent permutations approximated by salted
-#: md5; bands of ``BAND_SIZE`` rows → ``K // BAND_SIZE`` LSH bands.
+#: MinHash configuration: k independent hash slots; bands of ``BAND_SIZE``
+#: rows → ``K // BAND_SIZE`` LSH bands. Candidate probability follows the
+#: standard S-curve P(candidate | J) = 1 − (1 − J^r)^b with r=BAND_SIZE,
+#: b=K//BAND_SIZE: the (8, 2) default gives P(0.5)≈0.68, P(0.7)≈0.96,
+#: P(0.9)≈1.0 — tuned for near-duplicate detection where the verifier
+#: prunes false positives cheaply. For higher recall at lower J run
+#: (K=128, BAND_SIZE=4): both knobs flow through every function here and
+#: the oracle builders derive from the same constants.
 MINHASH_K = 8
 BAND_SIZE = 2
 
