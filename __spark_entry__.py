@@ -1065,33 +1065,30 @@ FROM f GROUP BY 1"""
     o["training_sequences"] = f"""
 WITH {_train_prep_ctes},
 keep AS (
-  SELECT min(doc_id) AS doc_id, min(extracted_text) AS raw_text
-  FROM f GROUP BY md5(extracted_text)),
+  SELECT md5(extracted_text) AS text_hash,
+         min(doc_id) AS doc_id, min(extracted_text) AS raw_text
+  FROM f GROUP BY 1),
 scrub AS (
-  SELECT doc_id,
+  SELECT doc_id, text_hash,
     regexp_replace(regexp_replace(regexp_replace(raw_text,
         '{_C.URL_PATTERN}', '{_C.URL_TOKEN}', 'g'),
         '{_C.EMAIL_PATTERN}', '{_C.EMAIL_TOKEN}', 'g'),
         '{_C.PHONE_PATTERN}', '{_C.PHONE_TOKEN}', 'g') AS text
   FROM keep),
-tok AS (SELECT doc_id, {_seq_toks} AS toks FROM scrub),
+tok AS (SELECT doc_id, text_hash, {_seq_toks} AS toks FROM scrub),
 ch AS (
-  SELECT doc_id, toks,
+  SELECT doc_id, text_hash, toks,
          unnest(range(0, CAST(ceil(len(toks)::DOUBLE / {_seq_step}) AS INT))) AS i
-  FROM tok WHERE len(toks) > 0),
-sp AS (
-  SELECT doc_id,
-    CASE WHEN {_seq_bucket} < {_C.TRAIN_UPPER} THEN 'train'
-         WHEN {_seq_bucket} < {_C.VAL_UPPER} THEN 'val'
-         ELSE 'test' END AS split
-  FROM keep)
-SELECT ch.doc_id,
+  FROM tok WHERE len(toks) > 0)
+SELECT doc_id, text_hash,
   CAST(i AS BIGINT) AS chunk_idx,
   CAST(i * {_seq_step} AS BIGINT) AS chunk_start,
   array_to_string(toks[i * {_seq_step} + 1 : i * {_seq_step} + {_seq_chunk}], ' ') AS chunk_text,
   CAST(len(toks[i * {_seq_step} + 1 : i * {_seq_step} + {_seq_chunk}]) AS BIGINT) AS n_chunk_tokens,
-  sp.split AS split
-FROM ch JOIN sp ON sp.doc_id = ch.doc_id"""
+  CASE WHEN {_seq_bucket} < {_C.TRAIN_UPPER} THEN 'train'
+       WHEN {_seq_bucket} < {_C.VAL_UPPER} THEN 'val'
+       ELSE 'test' END AS split
+FROM ch"""
 
     decorated = "text || ' — “q”… ‘x’ •'"
     o["fold_smart_punct"] = (

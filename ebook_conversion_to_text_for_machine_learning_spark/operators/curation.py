@@ -30,6 +30,20 @@ EMAIL_TOKEN = "<EMAIL>"
 PHONE_TOKEN = "<PHONE>"
 
 
+def scrub_text_col(text: Column) -> Column:
+    """The redaction chain as a pure column expression (URL → email →
+    phone), composable into any projection."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, URL_PATTERN, URL_TOKEN),
+            EMAIL_PATTERN,
+            EMAIL_TOKEN,
+        ),
+        PHONE_PATTERN,
+        PHONE_TOKEN,
+    )
+
+
 def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact URLs, emails, and phone-number-shaped runs; count each kind.
 
@@ -39,15 +53,7 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     phone order.
     """
     text = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(text, URL_PATTERN, URL_TOKEN),
-            EMAIL_PATTERN,
-            EMAIL_TOKEN,
-        ),
-        PHONE_PATTERN,
-        PHONE_TOKEN,
-    )
+    scrubbed = scrub_text_col(text)
     return df.select(
         "doc_id",
         scrubbed.alias("scrubbed_text"),
@@ -63,6 +69,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 128,
     overlap: int = 16,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Cut each document into whitespace-token chunks with overlap.
 
@@ -71,6 +78,8 @@ def chunk_documents(
     short; empty documents yield no chunks. One bounded ``explode`` per
     document (≤ ⌈n/step⌉ rows), all slicing JVM-side — at corpus scale the
     output is the training-sequence table and this is the whole plan.
+    ``carry_cols`` ride through to every chunk row unchanged (provenance
+    columns like a text hash), avoiding a re-join downstream.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("require 0 <= overlap < chunk_tokens")
@@ -87,10 +96,14 @@ def chunk_documents(
             F.lit(step),
         ),
     ).otherwise(F.array().cast("array<int>"))
+    carried = list(carry_cols)
     return (
-        df.select("doc_id", toks.alias("_toks"), F.explode(starts).alias("chunk_start"))
+        df.select(
+            "doc_id", *carried, toks.alias("_toks"), F.explode(starts).alias("chunk_start")
+        )
         .select(
             "doc_id",
+            *carried,
             (F.col("chunk_start") / step).cast("long").alias("chunk_idx"),
             F.col("chunk_start").cast("long").alias("chunk_start"),
             F.array_join(F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens), " ").alias("chunk_text"),

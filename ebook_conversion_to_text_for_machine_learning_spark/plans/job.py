@@ -50,6 +50,12 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument("--chunk-tokens", type=int, default=128)
     parser.add_argument("--chunk-overlap", type=int, default=16)
+    parser.add_argument(
+        "--seen-hashes",
+        default=None,
+        help="sequences mode: path/table of a previous run's output (its "
+        "text_hash column drives incremental dedup via left-anti join)",
+    )
     parser.add_argument("--master", default=None)
     parser.add_argument(
         "--catalog",
@@ -71,10 +77,21 @@ def main(argv: list[str] | None = None) -> None:
                 prepare_training_sequences,
             )
 
+            seen = None
+            if args.seen_hashes:
+                try:
+                    seen = (
+                        spark.read.table(args.seen_hashes)
+                        if args.catalog
+                        else spark.read.parquet(args.seen_hashes)
+                    )
+                except Exception:  # first run: nothing seen yet
+                    seen = None
             seqs = prepare_training_sequences(
                 input_df,
                 chunk_tokens=args.chunk_tokens,
                 overlap=args.chunk_overlap,
+                seen_hashes=seen,
             )
             # Persist across the write + summary so the chain (extraction
             # included) runs once, not once per action.

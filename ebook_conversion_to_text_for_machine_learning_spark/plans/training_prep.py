@@ -34,11 +34,22 @@ DEFAULT_MIN_QUALITY = 0.5
 
 
 def prepare_training_data(
-    spans_df: DataFrame, *, min_quality: float = DEFAULT_MIN_QUALITY
+    spans_df: DataFrame,
+    *,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    seen_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Input: documents_spans contract rows. Output: one row per distinct
     surviving text — (text_hash, keeper_doc_id, n_copies, quality_score,
-    extracted_text)."""
+    extracted_text).
+
+    ``seen_hashes`` (a DataFrame with a ``text_hash`` column — typically
+    the previously-written output table) makes the dedup INCREMENTAL: a
+    left-anti join drops texts already kept by earlier runs, so a corpus
+    arriving over months never re-emits a kept document. The anti-join
+    keys on md5 hashes only — narrow rows, broadcast when small, and at
+    lake scale both sides bucket by text_hash.
+    """
     extracted = extract_spans(spans_df).select(
         "doc_id",
         F.array_join(F.transform("spans", lambda s: s["text"]), "").alias(
@@ -59,12 +70,17 @@ def prepare_training_data(
         "doc_id",
     )
     survivors = scored.where(F.col("quality_score") >= min_quality)
-    return survivors.groupBy(F.md5("extracted_text").alias("text_hash")).agg(
+    out = survivors.groupBy(F.md5("extracted_text").alias("text_hash")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count("*").cast("long").alias("n_copies"),
         F.min("quality_score").alias("quality_score"),
         F.min("extracted_text").alias("extracted_text"),
     )
+    if seen_hashes is not None:
+        out = out.join(
+            seen_hashes.select("text_hash").distinct(), "text_hash", "left_anti"
+        )
+    return out
 
 
 def prepare_training_sequences(
@@ -73,6 +89,7 @@ def prepare_training_sequences(
     min_quality: float = DEFAULT_MIN_QUALITY,
     chunk_tokens: int = 128,
     overlap: int = 16,
+    seen_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """The complete curation chain: extract → quality-filter → exact dedup
     → PII scrub → chunk → split-assign.
@@ -87,23 +104,27 @@ def prepare_training_sequences(
     """
     from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
         chunk_documents,
-        scrub_pii,
+        scrub_text_col,
         split_col,
     )
 
-    keepers = prepare_training_data(spans_df, min_quality=min_quality).select(
+    keepers = prepare_training_data(
+        spans_df, min_quality=min_quality, seen_hashes=seen_hashes
+    ).select(
         F.col("keeper_doc_id").alias("doc_id"),
-        F.col("extracted_text").alias("text"),
+        "text_hash",
+        scrub_text_col(F.col("extracted_text")).alias("text"),
     )
-    scrubbed = scrub_pii(keepers).select(
-        "doc_id", F.col("scrubbed_text").alias("text")
+    # text_hash (md5 of the PRE-scrub keeper text — feed it back as
+    # seen_hashes for incremental runs) and the split (pure function of
+    # doc_id) both ride along as projections: no join anywhere, the dedup
+    # aggregate stays the only data shuffle over the corpus.
+    chunks = chunk_documents(
+        keepers, chunk_tokens=chunk_tokens, overlap=overlap, carry_cols=("text_hash",)
     )
-    chunks = chunk_documents(scrubbed, chunk_tokens=chunk_tokens, overlap=overlap)
-    # Split is a pure function of doc_id (curation.split_col), so it rides
-    # along as a projection — no join, keeping the dedup aggregate the only
-    # shuffle in the whole chain.
     return chunks.select(
         "doc_id",
+        "text_hash",
         "chunk_idx",
         "chunk_start",
         "chunk_text",

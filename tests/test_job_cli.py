@@ -130,8 +130,35 @@ def test_job_cli_sequences_mode(spark, tmp_path):
     assert summary["mode"] == "sequences"
     out = spark.read.parquet(out_dir)
     assert set(out.columns) == {
-        "doc_id", "chunk_idx", "chunk_start", "chunk_text", "n_chunk_tokens", "split"
+        "doc_id", "text_hash", "chunk_idx", "chunk_start", "chunk_text",
+        "n_chunk_tokens", "split",
     }
     n = out.count()
     assert n > 0 and n == sum(summary["chunks_by_split"].values())
     assert out.agg({"n_chunk_tokens": "max"}).first()[0] <= 32
+
+    # Incremental rerun: pointing --seen-hashes at the first output makes
+    # the same input a no-op (its text_hash column anti-joins everything).
+    result2 = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ebook_conversion_to_text_for_machine_learning_spark.plans.job",
+            "--input", in_dir,
+            "--output", str(tmp_path / "seqs2"),
+            "--mode", "sequences",
+            "--chunk-tokens", "32",
+            "--chunk-overlap", "8",
+            "--seen-hashes", out_dir,
+            "--master", "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert result2.returncode == 0, result2.stderr[-2000:]
+    summary2 = json.loads(
+        [l for l in result2.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary2["chunks_by_split"] == {}

@@ -170,3 +170,34 @@ def test_ngram_jaccard_interns_tokens_before_pair_join(spark):
     # The pair join condition intersects bigint arrays, not strings.
     cond_lines = [l for l in plan.splitlines() if "array_intersect" in l]
     assert cond_lines, plan
+
+
+def test_incremental_dedup_with_seen_hashes(spark):
+    """A second curation run given the first run's output hashes must emit
+    only genuinely new texts (anti-join on text_hash), and the anti-join
+    must be a LeftAnti in the plan."""
+    from tests import fixtures as fx
+    from tests.conftest import spans_df
+
+    from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
+        prepare_training_data,
+    )
+
+    docs = fx.random_corpus(40, seed=31)
+    first = prepare_training_data(spans_df(spark, docs))
+    seen = first.select("text_hash")
+
+    # Same input again → everything already seen → empty.
+    rerun = prepare_training_data(spans_df(spark, docs), seen_hashes=seen)
+    assert rerun.count() == 0
+    assert "LeftAnti" in plan_of(rerun)
+
+    # A batch mixing old + new docs emits only the new ones.
+    more = fx.random_corpus(60, seed=31)[40:]
+    for i, d in enumerate(more):
+        d["doc_id"] = f"late-{i:04d}"
+    mixed = prepare_training_data(spans_df(spark, docs + more), seen_hashes=seen)
+    new_only = prepare_training_data(spans_df(spark, more))
+    assert {r.text_hash for r in mixed.collect()} == {
+        r.text_hash for r in new_only.collect()
+    }
