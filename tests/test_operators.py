@@ -471,3 +471,28 @@ def test_split_assign_deterministic_distribution(spark):
     assert 0.70 < frac["train"] / 1000 < 0.90
     assert 0.04 < frac["val"] / 1000 < 0.16
     assert 0.04 < frac["test"] / 1000 < 0.16
+
+
+def test_minhash_k_and_band_size_parameterization(spark):
+    """The recall knobs documented on MINHASH_K/BAND_SIZE must actually
+    flow through: k controls signature width, band_size the banding."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    df = _docs_df(spark, [(1, "en", BASE), (2, "en", BASE.replace("lazy", "dozy"))])
+    sigs16 = minhash_signatures(df, k=16)
+    assert [c for c in sigs16.columns if c.startswith("sig_")] == [
+        f"sig_{i}" for i in range(16)
+    ]
+    bands = minhash_bands(sigs16, k=16, band_size=4)
+    rows = bands.collect()
+    assert {r.band_id for r in rows} == set(range(4))  # 16/4 bands
+    assert all(len(r.bucket.split("|")) == 4 for r in rows)
+    # Identical docs would share every bucket; a one-token change must
+    # still collide somewhere at this k (probabilistically certain here).
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r.band_id, set()).add(r.bucket)
+    assert any(len(buckets) == 1 for buckets in by_band.values())
