@@ -609,11 +609,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["split_assign"] = split_assign
 
+    def stratified_sample(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+            curation as C,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        out = C.stratified_sample(
+            docs, {"en": 0.5, "es": 0.25}, group_col="lang", default_rate=0.125
+        )
+        return out.select("doc_id", "lang", "sample_bucket")
+
+    q["stratified_sample"] = stratified_sample
+
+    def pack_sequences(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+            curation as C,
+        )
+
+        docs = read_table(spark, sf_dir, "documents").withColumn(
+            "split", C.split_col(F.col("doc_id"))
+        )
+        chunks = C.chunk_documents(
+            docs, chunk_tokens=32, overlap=8, carry_cols=("split",)
+        )
+        return C.pack_sequences(chunks, budget=64, n_shards=8)
+
+    q["pack_sequences"] = pack_sequences
+
+    def repetition_signals(spark, sf_dir):
+        return T.repetition_signals(read_table(spark, sf_dir, "documents"))
+
+    q["repetition_signals"] = repetition_signals
+
     # --- dedup -------------------------------------------------------------
     def exact_dedup(spark, sf_dir):
         return D.exact_dedup(read_table(spark, sf_dir, "documents"))
 
     q["exact_dedup"] = exact_dedup
+
+    def line_dedup(spark, sf_dir):
+        # The synthetic corpus is single-line; decorate every document with
+        # a second line borrowed from one of the first 50 documents so the
+        # corpus genuinely shares lines across documents (the broadcast
+        # 50-row side mirrors the oracle's self-join exactly).
+        docs = read_table(spark, sf_dir, "documents")
+        shared = docs.where(F.col("doc_id") < 50).select(
+            F.col("doc_id").alias("k"), F.col("text").alias("extra")
+        )
+        decorated = docs.join(
+            F.broadcast(shared), (F.col("doc_id") % 50) == F.col("k")
+        ).select("doc_id", F.concat_ws("\n", "text", "extra").alias("text"))
+        return D.line_dedup(decorated)
+
+    q["line_dedup"] = line_dedup
+
+    def decontaminate(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        eval_df = docs.where(F.col("doc_id") % 97 == 0)
+        return D.decontaminate(docs, eval_df, n=3, threshold_pct=10)
+
+    q["decontaminate"] = decontaminate
 
     def minhash_signatures(spark, sf_dir):
         return D.minhash_signatures(read_table(spark, sf_dir, "documents"))
@@ -1201,9 +1257,115 @@ SELECT doc_id,
        ELSE 'test' END AS split
 FROM documents"""
 
+    _nib16 = "strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {pos}, 1)) - 1"
+    _bucket16 = "((((%s) * 16 + (%s)) * 16 + (%s)) * 16 + (%s))" % tuple(
+        _nib16.format(pos=p) for p in (1, 2, 3, 4)
+    )
+    o["stratified_sample"] = f"""
+SELECT doc_id, lang, CAST({_bucket16} AS INT) AS sample_bucket
+FROM documents
+WHERE {_bucket16} < CASE WHEN lang = 'en' THEN {int(0.5 * 65536)}
+                         WHEN lang = 'es' THEN {int(0.25 * 65536)}
+                         ELSE {int(0.125 * 65536)} END"""
+
+    _pk_chunk, _pk_step, _pk_budget, _pk_shards = 32, 24, 64, 8
+    o["pack_sequences"] = f"""
+WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks)::DOUBLE / {_pk_step}) AS INT))) AS i
+  FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id,
+    CAST(i AS BIGINT) AS chunk_idx,
+    CAST(len(toks[i * {_pk_step} + 1 : i * {_pk_step} + {_pk_chunk}]) AS BIGINT) AS n_tokens,
+    CASE WHEN {_bucket} < {C.TRAIN_UPPER} THEN 'train'
+         WHEN {_bucket} < {C.VAL_UPPER} THEN 'val'
+         ELSE 'test' END AS split,
+    CAST(doc_id % {_pk_shards} AS BIGINT) AS shard
+  FROM s),
+w AS (
+  SELECT split, shard, doc_id, chunk_idx, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id, chunk_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS bin_offset
+  FROM c)
+SELECT split, shard, doc_id, chunk_idx, n_tokens,
+  CAST(bin_offset AS BIGINT) AS bin_offset,
+  CAST(floor(bin_offset / {_pk_budget}) AS BIGINT) AS bin_id
+FROM w"""
+
+    o["repetition_signals"] = f"""
+WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
+g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+        ELSE [] END) AS g FROM t),
+c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g),
+a2 AS (SELECT doc_id, sum(cnt) AS n_2grams, max(cnt) AS top_2gram_cnt,
+        coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup_2gram_cnt
+       FROM c2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        ELSE [] END) AS g FROM t),
+c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g),
+a3 AS (SELECT doc_id, sum(cnt) AS n_3grams, max(cnt) AS top_3gram_cnt,
+        coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup_3gram_cnt
+       FROM c3 GROUP BY doc_id),
+m AS (
+  SELECT d.doc_id,
+    CAST(coalesce(n_2grams, 0) AS BIGINT) AS n_2grams,
+    CAST(coalesce(top_2gram_cnt, 0) AS BIGINT) AS top_2gram_cnt,
+    CAST(coalesce(dup_2gram_cnt, 0) AS BIGINT) AS dup_2gram_cnt,
+    CAST(coalesce(n_3grams, 0) AS BIGINT) AS n_3grams,
+    CAST(coalesce(top_3gram_cnt, 0) AS BIGINT) AS top_3gram_cnt,
+    CAST(coalesce(dup_3gram_cnt, 0) AS BIGINT) AS dup_3gram_cnt
+  FROM documents d LEFT JOIN a2 ON d.doc_id = a2.doc_id LEFT JOIN a3 ON d.doc_id = a3.doc_id)
+SELECT doc_id, n_2grams, top_2gram_cnt, dup_2gram_cnt, n_3grams, top_3gram_cnt, dup_3gram_cnt,
+  CASE WHEN n_2grams > 0
+       THEN floor(top_2gram_cnt::DOUBLE / n_2grams::DOUBLE * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS top_2gram_frac,
+  CASE WHEN n_3grams > 0
+       THEN floor(dup_3gram_cnt::DOUBLE / n_3grams::DOUBLE * 10000.0 + 0.5) / 10000.0
+       ELSE 0.0 END AS dup_3gram_frac,
+  ((top_2gram_cnt * 100 > {T.TOP_2GRAM_PCT} * n_2grams AND n_2grams > 0)
+   OR (dup_3gram_cnt * 100 > {T.DUP_3GRAM_PCT} * n_3grams AND n_3grams > 0)) AS repetitive
+FROM m"""
+
     o["exact_dedup"] = """
 SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY md5(text)"""
+
+    o["line_dedup"] = """
+WITH dec AS (
+  SELECT d.doc_id, d.text || chr(10) || s.text AS text
+  FROM documents d JOIN documents s ON d.doc_id % 50 = s.doc_id AND s.doc_id < 50),
+l0 AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM dec),
+l AS (SELECT doc_id, unnest(range(0, len(lines))) AS line_idx, lines FROM l0),
+lx AS (SELECT doc_id, CAST(line_idx AS BIGINT) AS line_idx, lines[line_idx + 1] AS line FROM l),
+k AS (SELECT doc_id, line_idx, line,
+        row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_idx) = 1 AS keep
+      FROM lx)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_idx), '') AS kept_text
+FROM k GROUP BY doc_id"""
+
+    o["decontaminate"] = f"""
+WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          list_distinct(list_transform(range(1, len(toks) - 1),
+                                       i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [] END AS grams
+      FROM t),
+e AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT doc_id, unnest(grams) AS g FROM g),
+h AS (SELECT hits.doc_id, count(*) AS n_hit FROM hits JOIN e ON hits.g = e.g GROUP BY hits.doc_id)
+SELECT g.doc_id,
+  CAST(len(grams) AS BIGINT) AS n_grams,
+  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_contaminated,
+  (len(grams) > 0 AND coalesce(n_hit, 0) * 100 >= 10 * len(grams)) AS contaminated
+FROM g LEFT JOIN h ON g.doc_id = h.doc_id"""
 
     o["minhash_signatures"] = f"""
 WITH {_sql_minhash_sig_cte()}

@@ -77,6 +77,11 @@ def main() -> None:
         "scrub_pii",
         "chunk_documents",
         "split_assign",
+        "stratified_sample",
+        "pack_sequences",
+        "repetition_signals",
+        "line_dedup",
+        "decontaminate",
         "language_id",
         "fingerprints",
         "cosine_topk",

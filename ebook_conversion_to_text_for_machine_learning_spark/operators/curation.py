@@ -152,3 +152,90 @@ def split_assign(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         _hex_bucket(F.col(id_col)).cast("int").alias("bucket"),
         split_col(F.col(id_col)).alias("split"),
     )
+
+
+def _hex_bucket16(id_col: Column) -> Column:
+    """0..65535 bucket from the first four md5 hex chars — same strpos
+    arithmetic as ``_hex_bucket`` but 16-bit, for sampling-rate precision
+    of 1/65536."""
+    h = F.md5(id_col.cast("string"))
+    b = F.lit(0)
+    for pos in range(1, 5):
+        b = b * 16 + (F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1)
+    return b
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep each row with its
+    group's rate, decided by the row id's 16-bit md5 bucket.
+
+    Corpus-balancing for training mixes (e.g. downsample dominant
+    languages or sources). Hash-based, not random: a row's keep/drop
+    decision never changes across reruns or incremental arrivals — the
+    same property ``split_assign`` relies on — and requires zero
+    coordination, zero shuffle, zero Python. Rates are quantized to
+    1/65536 (``floor(rate * 65536)`` buckets kept) so the decision is
+    exact integer arithmetic in any engine.
+    """
+    bucket = _hex_bucket16(F.col(id_col))
+    cutoff = F.lit(None).cast("int")
+    for group, rate in sorted(rates.items()):
+        cutoff = F.when(F.col(group_col) == group, F.lit(int(rate * 65536))).otherwise(cutoff)
+    cutoff = F.coalesce(cutoff, F.lit(int(default_rate * 65536)))
+    return (
+        df.withColumn("sample_bucket", bucket.cast("int"))
+        .where(F.col("sample_bucket") < cutoff)
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    *,
+    budget: int = 512,
+    n_shards: int = 64,
+    count_col: str = "n_chunk_tokens",
+    split_col_name: str = "split",
+) -> DataFrame:
+    """Pack chunk rows into fixed-token-budget training bins.
+
+    Streaming offset packing: within each (split, shard), chunks are laid
+    end-to-end in ``(doc_id, chunk_idx)`` order and a chunk starting at
+    cumulative offset ``S`` lands in ``bin_id = S div budget``. A chunk
+    straddling a bin boundary consumes the next bin's offset space, so
+    every bin except a shard's last holds within ``max_chunk − 1`` tokens
+    of ``budget`` on either side — the standard contiguous-fill trade
+    that avoids bin-state iteration entirely. Deterministic: the same
+    corpus always packs identically.
+
+    Scale shape: ``shard = doc_id mod n_shards`` bounds every window
+    partition to ~1/n_shards of a split, so the sort-based window never
+    funnels a whole split through one reducer — raise ``n_shards`` with
+    the corpus (bins are only ever consumed shard-locally, their ids have
+    no cross-shard meaning). One shuffle total; integer arithmetic only.
+    """
+    from pyspark.sql import Window
+
+    shard = (F.col("doc_id") % n_shards).cast("long")
+    w = (
+        Window.partitionBy(split_col_name, "shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_shard = chunks.withColumn("shard", shard)
+    offset = F.sum(F.col(count_col)).over(w) - F.col(count_col)
+    return with_shard.select(
+        split_col_name,
+        "shard",
+        "doc_id",
+        "chunk_idx",
+        F.col(count_col).cast("long").alias("n_tokens"),
+        offset.cast("long").alias("bin_offset"),
+        F.floor(offset / F.lit(budget)).cast("long").alias("bin_id"),
+    )

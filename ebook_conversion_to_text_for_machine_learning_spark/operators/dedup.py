@@ -305,3 +305,91 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def line_dedup(df: DataFrame, text_col: str = "text", delim: str = "\n") -> DataFrame:
+    """Corpus-level exact line dedup (C4-style): keep each distinct line
+    only at its first occurrence, ordered by ``(doc_id, line_idx)``, and
+    reassemble every document from its surviving lines.
+
+    Scale shape: one window shuffle keyed on ``md5(line)`` (tiny groups —
+    a line's duplicates), then one ``groupBy(doc_id)`` to reassemble.
+    Both shuffles are unavoidable for this semantics (the keeper decision
+    is global, the reassembly is per-document); nothing else touches
+    Python. Documents whose every line loses come back with
+    ``kept_text = ''`` rather than vanishing, so the output is a
+    full-corpus projection suitable for a downstream quality filter.
+
+    Mirrors the reference's whole-document append semantics only in
+    spirit — the reference (a single-file converter) has no corpus-level
+    operator; this is the training-data-pipeline extension the engine
+    adds (C4/RefinedWeb line-level dedup).
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("line_idx", "line"),
+    )
+    w = Window.partitionBy(F.md5(F.col("line"))).orderBy("doc_id", "line_idx")
+    flagged = lines.withColumn("keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(F.col("keep"), F.struct("line_idx", "line"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                # collect_list drops the nulls from the unmatched WHEN, and
+                # array_sort on (line_idx, line) structs restores document
+                # order regardless of shuffle arrival order.
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.getField("line"),
+            ),
+            delim,
+        ).alias("kept_text"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 3,
+    threshold_pct: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose word
+    ``n``-gram shingles overlap an evaluation set.
+
+    The eval side is aggregated to a single distinct-gram array and
+    broadcast, so the corpus side is a pure map — no shuffle, no explode,
+    no Python; ``array_intersect`` runs in codegen per row. This is the
+    right shape when the eval set is benchmark-sized (≤ millions of
+    grams); for an eval side too large to broadcast, explode both sides
+    and use a left-semi hash join on ``md5(gram)`` instead.
+
+    A document is ``contaminated`` when at least ``threshold_pct`` percent
+    of its distinct shingles appear in the eval set (integer arithmetic —
+    exact in any engine); gram-less documents (< ``n`` tokens) are never
+    flagged.
+    """
+    grams = shingles_col(F.col(text_col), n)
+    eval_set = (
+        eval_df.select(F.explode(shingles_col(F.col(text_col), n)).alias("g"))
+        .agg(F.array_sort(F.collect_set("g")).alias("_eval_grams"))
+    )
+    return (
+        corpus.crossJoin(F.broadcast(eval_set))
+        .select(
+            "doc_id",
+            F.size(grams).cast("long").alias("n_grams"),
+            F.size(F.array_intersect(grams, F.col("_eval_grams")))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("n_grams") > 0)
+            & (F.col("n_contaminated") * 100 >= F.lit(threshold_pct) * F.col("n_grams")),
+        )
+    )

@@ -111,3 +111,91 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the whitespace-normalized lowercase text."""
     normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), " +", " ")
     return df.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+def ngrams_col(text: Column, n: int) -> Column:
+    """Word n-grams WITH repeats (unlike ``dedup.shingles_col``, which is
+    distinct) — repetition measurement needs the multiplicities."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+#: Gopher-style repetition thresholds (Rae et al. 2021, table A1 region):
+#: a document is repetitive when its most common 2-gram covers more than
+#: 20% of all 2-grams, or 3-grams occurring more than once cover more
+#: than 18% of all 3-grams. Stored as integer percents so the flag is
+#: exact integer arithmetic in both engines.
+TOP_2GRAM_PCT = 20
+DUP_3GRAM_PCT = 18
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    For n in (2, 3): total n-grams, the top n-gram's count, and the count
+    of n-grams whose gram occurs more than once. Shape: explode →
+    ``groupBy(doc_id, gram)`` → ``groupBy(doc_id)`` — both aggregates get
+    map-side partial combine, and the second shuffle carries three longs
+    per (doc, n). Short documents (< n tokens) are restored with zero
+    counts so the output covers the full corpus.
+
+    ``repetitive`` = top-2-gram share > 20% OR duplicated-3-gram share >
+    18% (integer-percent comparisons; fractions are also emitted as
+    floor-rounded 4-decimal doubles for human consumption).
+    """
+
+    def _per_n(n: int, tag: str) -> DataFrame:
+        grams = df.select(
+            "doc_id", F.explode(ngrams_col(F.col(text_col), n)).alias("g")
+        )
+        counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+        return counts.groupBy("doc_id").agg(
+            F.sum("cnt").cast("long").alias(f"n_{tag}grams"),
+            F.max("cnt").cast("long").alias(f"top_{tag}gram_cnt"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+            ).cast("long").alias(f"dup_{tag}gram_cnt"),
+        )
+
+    def _round4(col: Column) -> Column:
+        return F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+    def _frac(num: str, den: str) -> Column:
+        return F.when(
+            F.col(den) > 0,
+            _round4(F.col(num).cast("double") / F.col(den).cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    base = df.select("doc_id")
+    out = (
+        base.join(_per_n(2, "2"), "doc_id", "left")
+        .join(_per_n(3, "3"), "doc_id", "left")
+        .na.fill(
+            0,
+            [
+                "n_2grams", "top_2gram_cnt", "dup_2gram_cnt",
+                "n_3grams", "top_3gram_cnt", "dup_3gram_cnt",
+            ],
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_2grams",
+        "top_2gram_cnt",
+        "dup_2gram_cnt",
+        "n_3grams",
+        "top_3gram_cnt",
+        "dup_3gram_cnt",
+        _frac("top_2gram_cnt", "n_2grams").alias("top_2gram_frac"),
+        _frac("dup_3gram_cnt", "n_3grams").alias("dup_3gram_frac"),
+        (
+            (F.col("top_2gram_cnt") * 100 > F.lit(TOP_2GRAM_PCT) * F.col("n_2grams"))
+            & (F.col("n_2grams") > 0)
+            | (F.col("dup_3gram_cnt") * 100 > F.lit(DUP_3GRAM_PCT) * F.col("n_3grams"))
+            & (F.col("n_3grams") > 0)
+        ).alias("repetitive"),
+    )

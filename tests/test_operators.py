@@ -496,3 +496,136 @@ def test_minhash_k_and_band_size_parameterization(spark):
     for r in rows:
         by_band.setdefault(r.band_id, set()).add(r.bucket)
     assert any(len(buckets) == 1 for buckets in by_band.values())
+
+
+def test_line_dedup_keeps_first_occurrence_and_reassembles(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    df = _docs_df(
+        spark,
+        [
+            (1, "en", "alpha line\nshared line\nbeta line"),
+            (2, "en", "shared line\ngamma line"),
+            (3, "en", "shared line"),
+        ],
+    )
+    rows = {r.doc_id: r for r in line_dedup(df).collect()}
+    # doc 1 owns the first occurrence of "shared line" and keeps everything.
+    assert rows[1].kept_text == "alpha line\nshared line\nbeta line"
+    assert (rows[1].n_lines, rows[1].n_kept) == (3, 3)
+    # doc 2 loses the shared line but keeps its own.
+    assert rows[2].kept_text == "gamma line"
+    assert (rows[2].n_lines, rows[2].n_kept) == (2, 1)
+    # doc 3 loses its only line but still appears, with empty text.
+    assert rows[3].kept_text == ""
+    assert (rows[3].n_lines, rows[3].n_kept) == (1, 0)
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    corpus = _docs_df(
+        spark,
+        [
+            (1, "en", BASE),  # literally an eval document
+            (2, "en", "completely unrelated words about ships at sea tonight"),
+            (3, "en", "too short"),  # < 3 tokens → no grams
+        ],
+    )
+    eval_df = _docs_df(spark, [(100, "en", BASE)])
+    rows = {r.doc_id: r for r in decontaminate(corpus, eval_df).collect()}
+    assert rows[1].contaminated and rows[1].n_contaminated == rows[1].n_grams > 0
+    assert not rows[2].contaminated and rows[2].n_contaminated == 0
+    assert not rows[3].contaminated and rows[3].n_grams == 0
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    df = _docs_df(
+        spark, [(i, "en" if i % 2 == 0 else "es", f"doc {i}") for i in range(400)]
+    )
+    kept = stratified_sample(df, {"en": 1.0, "es": 0.0}).collect()
+    # rate 1.0 keeps every en row; rate 0.0 drops every es row.
+    assert {r.lang for r in kept} == {"en"}
+    assert len(kept) == 200
+
+    half = stratified_sample(df, {"en": 0.5}, default_rate=0.25)
+    first = sorted(r.doc_id for r in half.collect())
+    second = sorted(r.doc_id for r in half.collect())
+    assert first == second  # hash-based: rerun-stable
+    n_en = sum(1 for d in first if d % 2 == 0)
+    n_es = len(first) - n_en
+    # md5 buckets are uniform: expect ~100 en (of 200 at 50%) and ~50 es.
+    assert 70 <= n_en <= 130 and 25 <= n_es <= 75
+
+
+def test_pack_sequences_fills_bins_to_budget(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    chunks = spark.createDataFrame(
+        [("train", i, 0, 30) for i in range(10)],
+        "split string, doc_id long, chunk_idx long, n_chunk_tokens long",
+    )
+    out = pack_sequences(chunks, budget=64, n_shards=1).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    # 10 chunks × 30 tokens at budget 64: offsets 0,30,60,... → bins
+    # 0,0,0,1,1,2,2,3,3,4. A boundary-straddling chunk eats the next
+    # bin's offset space, so non-final bins hold budget ± (max_chunk-1).
+    totals = {b: sum(r.n_tokens for r in rows) for b, rows in by_bin.items()}
+    last = max(totals)
+    assert all(64 - 29 <= t <= 64 + 29 for b, t in totals.items() if b != last)
+    assert totals == {0: 90, 1: 60, 2: 60, 3: 60, 4: 30}
+    # a chunk starting at offset S is in bin S // budget
+    assert all(r.bin_id == r.bin_offset // 64 for r in out)
+    # deterministic order: offsets strictly increase with doc_id
+    offs = [r.bin_offset for r in sorted(out, key=lambda r: r.doc_id)]
+    assert offs == sorted(offs) and offs[0] == 0
+
+
+def test_pack_sequences_shards_bound_window_partitions(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    chunks = spark.createDataFrame(
+        [("train", i, 0, 10) for i in range(32)],
+        "split string, doc_id long, chunk_idx long, n_chunk_tokens long",
+    )
+    out = pack_sequences(chunks, budget=20, n_shards=4).collect()
+    shards = {r.shard for r in out}
+    assert shards == {0, 1, 2, 3}
+    # packing is shard-local: each shard's offsets start at 0
+    for s in shards:
+        assert min(r.bin_offset for r in out if r.shard == s) == 0
+
+
+def test_repetition_signals_flags_repetitive_docs(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
+        repetition_signals,
+    )
+
+    df = _docs_df(
+        spark,
+        [
+            (1, "en", "spam spam spam spam spam spam"),  # one 2-gram repeated
+            (2, "en", BASE),  # natural text
+            (3, "en", "xy"),  # single token → no grams
+        ],
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert rows[1].repetitive
+    assert rows[1].n_2grams == 5 and rows[1].top_2gram_cnt == 5
+    assert rows[1].dup_3gram_cnt == rows[1].n_3grams == 4
+    assert not rows[2].repetitive
+    assert rows[3].n_2grams == 0 and not rows[3].repetitive
