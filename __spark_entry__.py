@@ -503,6 +503,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_sequences"] = training_sequences
 
+    def training_mix(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
+            prepare_training_mix,
+        )
+
+        eval_df = (
+            read_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 97 == 0)
+            .select("text")
+        )
+        return prepare_training_mix(
+            documents_as_txt_spans(spark, sf_dir),
+            eval_df=eval_df,
+            chunk_tokens=32,
+            overlap=8,
+            budget=64,
+            n_shards=8,
+        )
+
+    q["training_mix"] = training_mix
+
     # --- scalar text ops (P1-P7) ----------------------------------------
     def fold_smart_punct(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
@@ -1145,6 +1166,79 @@ SELECT doc_id, text_hash,
        WHEN {_seq_bucket} < {_C.VAL_UPPER} THEN 'val'
        ELSE 'test' END AS split
 FROM ch"""
+
+    # training_mix: the sequences chain plus repetition filter (per-row
+    # Gopher flag), decontamination against documents with doc_id % 97 == 0,
+    # and offset packing into 64-token bins over (split, md5-bucket % 8)
+    # shards — mirrors plans.training_prep.prepare_training_mix.
+    _mix_scrub = (
+        "regexp_replace(regexp_replace(regexp_replace(raw_text, "
+        f"'{_C.URL_PATTERN}', '{_C.URL_TOKEN}', 'g'), "
+        f"'{_C.EMAIL_PATTERN}', '{_C.EMAIL_TOKEN}', 'g'), "
+        f"'{_C.PHONE_PATTERN}', '{_C.PHONE_TOKEN}', 'g')"
+    )
+    _mix_ev_toks = _SQL_TOKENS.format(col="text")
+    _g3 = (
+        "CASE WHEN len({t}) >= 3 THEN list_distinct(list_transform("
+        "range(1, len({t}) - 1), i -> array_to_string({t}[i:i+2], ' '))) "
+        "ELSE [] END"
+    )
+    o["training_mix"] = f"""
+WITH {_train_prep_ctes},
+rtok AS (SELECT doc_id, extracted_text,
+           {_SQL_TOKENS.format(col="extracted_text")} AS toks FROM f),
+rgram AS (SELECT doc_id, extracted_text,
+    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END AS g2,
+    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+         i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END AS g3
+  FROM rtok),
+rep AS (
+  SELECT doc_id, extracted_text FROM rgram
+  WHERE NOT (
+    (len(g2) > 0 AND coalesce(list_aggregate(list_transform(list_distinct(g2),
+        d -> len(list_filter(g2, x -> x = d))), 'max'), 0) * 100 > {T.TOP_2GRAM_PCT} * len(g2))
+    OR (len(g3) > 0 AND coalesce(list_aggregate(list_filter(list_transform(list_distinct(g3),
+        d -> len(list_filter(g3, x -> x = d))), c -> c > 1), 'sum'), 0) * 100 > {T.DUP_3GRAM_PCT} * len(g3)))),
+keep AS (
+  SELECT md5(extracted_text) AS text_hash,
+         min(doc_id) AS doc_id, min(extracted_text) AS raw_text
+  FROM rep GROUP BY 1),
+ev AS (SELECT DISTINCT unnest({_g3.format(t="toks")}) AS g
+       FROM (SELECT {_mix_ev_toks} AS toks FROM documents WHERE doc_id % 97 = 0)),
+kg AS (SELECT text_hash, doc_id, raw_text, {_g3.format(t="ktoks")} AS grams
+       FROM (SELECT text_hash, doc_id, raw_text,
+                    {_SQL_TOKENS.format(col="raw_text")} AS ktoks FROM keep)),
+hit AS (SELECT text_hash, count(*) AS n_hit
+        FROM (SELECT text_hash, unnest(grams) AS g FROM kg) x JOIN ev USING (g)
+        GROUP BY 1),
+dk AS (SELECT kg.text_hash, kg.doc_id, kg.raw_text
+       FROM kg LEFT JOIN hit USING (text_hash)
+       WHERE NOT (len(grams) > 0 AND coalesce(n_hit, 0) * 100 >= 10 * len(grams))),
+scrub AS (SELECT doc_id, text_hash, {_mix_scrub} AS text FROM dk),
+tok AS (SELECT doc_id, text_hash, {_seq_toks} AS toks FROM scrub),
+ch AS (
+  SELECT doc_id, text_hash, toks,
+         unnest(range(0, CAST(ceil(len(toks)::DOUBLE / {_seq_step}) AS INT))) AS i
+  FROM tok WHERE len(toks) > 0),
+cc AS (
+  SELECT doc_id, text_hash,
+    CAST(i AS BIGINT) AS chunk_idx,
+    array_to_string(toks[i * {_seq_step} + 1 : i * {_seq_step} + {_seq_chunk}], ' ') AS chunk_text,
+    CAST(len(toks[i * {_seq_step} + 1 : i * {_seq_step} + {_seq_chunk}]) AS BIGINT) AS n_tokens,
+    CASE WHEN {_seq_bucket} < {_C.TRAIN_UPPER} THEN 'train'
+         WHEN {_seq_bucket} < {_C.VAL_UPPER} THEN 'val'
+         ELSE 'test' END AS split,
+    CAST({_seq_bucket} % 8 AS BIGINT) AS shard
+  FROM ch),
+w AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS bin_offset
+  FROM cc)
+SELECT split, shard, doc_id, chunk_idx, text_hash, chunk_text, n_tokens,
+  CAST(bin_offset AS BIGINT) AS bin_offset,
+  CAST(floor(bin_offset / 64) AS BIGINT) AS bin_id
+FROM w"""
 
     decorated = "text || ' — “q”… ‘x’ •'"
     o["fold_smart_punct"] = (

@@ -65,6 +65,7 @@ def main() -> None:
         "extract_documents_txt",
         "training_data_prep",
         "training_sequences",
+        "training_mix",
         "exact_dedup",
         "minhash_signatures",
         "minhash_candidates",

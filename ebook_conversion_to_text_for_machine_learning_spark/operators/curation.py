@@ -202,6 +202,8 @@ def pack_sequences(
     n_shards: int = 64,
     count_col: str = "n_chunk_tokens",
     split_col_name: str = "split",
+    shard_col: str | None = None,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Pack chunk rows into fixed-token-budget training bins.
 
@@ -219,22 +221,32 @@ def pack_sequences(
     funnels a whole split through one reducer — raise ``n_shards`` with
     the corpus (bins are only ever consumed shard-locally, their ids have
     no cross-shard meaning). One shuffle total; integer arithmetic only.
+
+    ``shard_col`` names an existing column to shard by instead of the
+    ``doc_id mod n_shards`` default (needed when ``doc_id`` is a string,
+    e.g. an md5-bucket shard); ``carry_cols`` ride through unchanged
+    (chunk text, provenance hashes).
     """
     from pyspark.sql import Window
 
-    shard = (F.col("doc_id") % n_shards).cast("long")
+    if shard_col is None:
+        with_shard = chunks.withColumn(
+            "shard", (F.col("doc_id") % n_shards).cast("long")
+        )
+    else:
+        with_shard = chunks.withColumn("shard", F.col(shard_col).cast("long"))
     w = (
         Window.partitionBy(split_col_name, "shard")
         .orderBy("doc_id", "chunk_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_shard = chunks.withColumn("shard", shard)
     offset = F.sum(F.col(count_col)).over(w) - F.col(count_col)
     return with_shard.select(
         split_col_name,
         "shard",
         "doc_id",
         "chunk_idx",
+        *carry_cols,
         F.col(count_col).cast("long").alias("n_tokens"),
         offset.cast("long").alias("bin_offset"),
         F.floor(offset / F.lit(budget)).cast("long").alias("bin_id"),

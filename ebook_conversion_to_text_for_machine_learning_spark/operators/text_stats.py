@@ -38,6 +38,24 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score_col(text: Column) -> Column:
+    """The rounded quality score as a single per-row expression —
+    composable into a filter chain without a join (used by
+    ``plans.training_prep``). Same arithmetic as ``quality_scores``."""
+    toks = tokens_col(text)
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))).cast("double") / n
+    )
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(50.0))
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * stop_ratio
+    )
+    return F.floor(score * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality score: length, lexical diversity, stopword ratio.
 
@@ -50,11 +68,6 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = (
         F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))).cast("double") / n
     )
-    score = (
-        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(50.0))
-        + F.lit(0.3) * distinct_ratio
-        + F.lit(0.3) * stop_ratio
-    )
 
     def _round4(col):
         # floor(x*1e4 + 0.5)/1e4 instead of round(): identical double ops in
@@ -66,7 +79,7 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         _round4(distinct_ratio).alias("distinct_ratio"),
         _round4(stop_ratio).alias("stopword_ratio"),
-        _round4(score).alias("quality_score"),
+        quality_score_col(F.col(text_col)).alias("quality_score"),
     )
 
 
@@ -131,6 +144,65 @@ def ngrams_col(text: Column, n: int) -> Column:
 #: exact integer arithmetic in both engines.
 TOP_2GRAM_PCT = 20
 DUP_3GRAM_PCT = 18
+
+
+def _run_stats(grams: Column) -> Column:
+    """(maxrun, dup) over a gram multiset in ONE pass: sort, then a
+    run-length ``aggregate`` scan. ``maxrun`` is the most common gram's
+    count; ``dup`` is the total count of grams whose gram occurs more
+    than once — the two statistics the Gopher flag needs.
+
+    Why not count-per-distinct with nested lambdas: Catalyst does no
+    common-subexpression elimination inside lambda bodies, so a
+    ``filter(grams, ...)`` inside ``transform(distinct, ...)`` re-builds
+    the O(n²)-char gram array once per distinct element — measured ~100×
+    slower than this sorted pass on the driver corpus.
+    """
+    s = F.array_sort(grams)
+
+    def step(acc, x):
+        same = (acc.run > 0) & (acc.prev == x)
+        newrun = F.when(same, acc.run + 1).otherwise(F.lit(1))
+        newdup = (
+            F.when(~same & (acc.run > 1), acc.dup + acc.run).otherwise(acc.dup)
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.greatest(acc.maxrun, newrun).alias("maxrun"),
+            newdup.alias("dup"),
+        )
+
+    def fin(acc):
+        return F.struct(
+            F.greatest(acc.maxrun, acc.run).alias("maxrun"),
+            F.when(acc.run > 1, acc.dup + acc.run).otherwise(acc.dup).alias("dup"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("dup"),
+    )
+    return F.aggregate(s, init, step, fin)
+
+
+def repetitive_col(text: Column) -> Column:
+    """Per-row expression twin of ``repetition_signals``' ``repetitive``
+    flag — no explode, no shuffle, so it composes into a filter chain
+    (``prepare_training_mix``) without breaking the plan's two-shuffle
+    shape. O(n log n) array work per row via ``_run_stats``.
+
+    Agreement with the aggregate path is pinned by
+    ``test_repetitive_col_agrees_with_repetition_signals``.
+    """
+    g2, g3 = ngrams_col(text, 2), ngrams_col(text, 3)
+    s2, s3 = _run_stats(g2), _run_stats(g3)
+    n2, n3 = F.size(g2), F.size(g3)
+    return ((n2 > 0) & (s2.maxrun * 100 > F.lit(TOP_2GRAM_PCT) * n2)) | (
+        (n3 > 0) & (s3.dup * 100 > F.lit(DUP_3GRAM_PCT) * n3)
+    )
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:

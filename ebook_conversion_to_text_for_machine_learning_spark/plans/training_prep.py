@@ -131,3 +131,117 @@ def prepare_training_sequences(
         "n_chunk_tokens",
         split_col(F.col("doc_id")).alias("split"),
     )
+
+
+def prepare_training_mix(
+    spans_df: DataFrame,
+    *,
+    eval_df: DataFrame | None = None,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    budget: int = 512,
+    n_shards: int = 64,
+    decontaminate_n: int = 3,
+    decontaminate_pct: int = 10,
+    seen_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """The full curation chain ending in packed training bins: extract →
+    quality filter → repetition filter → exact dedup → decontaminate →
+    PII scrub → chunk → split-assign → pack.
+
+    Every filter before the dedup is a per-row expression (inline quality
+    score, ``repetitive_col``), and the decontamination check is a
+    broadcast array intersect — so the whole chain has exactly TWO data
+    shuffles: the dedup hash aggregate and the packing window. The shard
+    key is the doc-id md5 bucket mod ``n_shards`` (doc ids are strings in
+    the contract, so modulo on the id itself is unavailable), which also
+    decorrelates shard load from id assignment order.
+
+    ``eval_df`` (any DataFrame with a ``text`` column) enables benchmark
+    decontamination; keeper documents whose distinct word-``n``-gram
+    overlap with the eval set reaches ``decontaminate_pct`` percent are
+    dropped before chunking.
+
+    Output: one row per (keeper document × chunk) with its split, shard,
+    bin assignment, chunk text, and ``text_hash`` provenance.
+    """
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        _hex_bucket,
+        chunk_documents,
+        pack_sequences,
+        scrub_text_col,
+        split_col,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        shingles_col,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
+        quality_score_col,
+        repetitive_col,
+    )
+
+    extracted = extract_spans(spans_df).select(
+        "doc_id",
+        F.array_join(F.transform("spans", lambda s: s["text"]), "").alias("text"),
+    )
+    non_empty = extracted.where(
+        (F.length("text") > 0) & (F.size(tokens_col(F.col("text"))) > 0)
+    )
+    survivors = non_empty.where(
+        (quality_score_col(F.col("text")) >= min_quality)
+        & ~repetitive_col(F.col("text"))
+    )
+    keepers = survivors.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("text").alias("raw_text"),
+    )
+    if seen_hashes is not None:
+        keepers = keepers.join(
+            seen_hashes.select("text_hash").distinct(), "text_hash", "left_anti"
+        )
+    if eval_df is not None:
+        eval_set = (
+            eval_df.select(
+                F.explode(shingles_col(F.col("text"), decontaminate_n)).alias("g")
+            ).agg(F.array_sort(F.collect_set("g")).alias("_eval_grams"))
+        )
+        grams = shingles_col(F.col("raw_text"), decontaminate_n)
+        keepers = (
+            keepers.crossJoin(F.broadcast(eval_set))
+            .where(
+                ~(
+                    (F.size(grams) > 0)
+                    & (
+                        F.size(F.array_intersect(grams, F.col("_eval_grams"))) * 100
+                        >= F.lit(decontaminate_pct) * F.size(grams)
+                    )
+                )
+            )
+            .drop("_eval_grams")
+        )
+    scrubbed = keepers.select(
+        "doc_id", "text_hash", scrub_text_col(F.col("raw_text")).alias("text")
+    )
+    chunks = chunk_documents(
+        scrubbed,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+        carry_cols=("text_hash",),
+    )
+    ready = chunks.select(
+        "doc_id",
+        "text_hash",
+        "chunk_idx",
+        "chunk_text",
+        "n_chunk_tokens",
+        split_col(F.col("doc_id")).alias("split"),
+        (_hex_bucket(F.col("doc_id")) % n_shards).alias("doc_shard"),
+    )
+    return pack_sequences(
+        ready,
+        budget=budget,
+        n_shards=n_shards,
+        shard_col="doc_shard",
+        carry_cols=("text_hash", "chunk_text"),
+    )

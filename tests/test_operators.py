@@ -629,3 +629,71 @@ def test_repetition_signals_flags_repetitive_docs(spark):
     assert rows[1].dup_3gram_cnt == rows[1].n_3grams == 4
     assert not rows[2].repetitive
     assert rows[3].n_2grams == 0 and not rows[3].repetitive
+
+
+def test_repetitive_col_agrees_with_repetition_signals(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
+        repetition_signals,
+        repetitive_col,
+    )
+
+    rows = [
+        (1, "en", "spam spam spam spam spam spam"),
+        (2, "en", BASE),
+        (3, "en", "xy"),
+        (4, "en", ""),
+        (5, "en", "a b a b a b a b c d e f g h i j"),
+        (6, "en", "one two three one two three nine ten"),
+    ]
+    df = _docs_df(spark, rows)
+    agg = {r.doc_id: r.repetitive for r in repetition_signals(df).collect()}
+    expr = {
+        r.doc_id: r.flag
+        for r in df.select(
+            "doc_id", repetitive_col(F.col("text")).alias("flag")
+        ).collect()
+    }
+    assert agg == expr
+
+
+def test_prepare_training_mix_filters_and_packs(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
+        prepare_training_mix,
+    )
+    from tests.conftest import spans_df
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and the miller waits "
+        "for the grain in the old mill by the stone bridge near the river"
+    )
+    contaminated = (
+        "An evaluation answer sentence lives here with the quite specific "
+        "wording that a benchmark question would carry in its rubric text"
+    )
+    repetitive = "hello there " * 20  # one 2-gram dominates
+    docs = [
+        {"doc_id": "a", "fmt": "txt", "title": None, "author": None,
+         "spans": [("line", good, "", 0)]},
+        {"doc_id": "b", "fmt": "txt", "title": None, "author": None,
+         "spans": [("line", repetitive.strip(), "", 0)]},
+        {"doc_id": "c", "fmt": "txt", "title": None, "author": None,
+         "spans": [("line", contaminated, "", 0)]},
+    ]
+    eval_df = spark.createDataFrame([(contaminated,)], "text string")
+    out = prepare_training_mix(
+        spans_df(spark, docs), eval_df=eval_df,
+        chunk_tokens=8, overlap=0, budget=16, n_shards=2,
+    ).collect()
+    # b dropped (repetitive), c dropped (eval overlap), a survives chunked.
+    assert {r.doc_id for r in out} == {"a"}
+    assert all(r.bin_id == r.bin_offset // 16 for r in out)
+    assert len({r.text_hash for r in out}) == 1
+    # chunks pack contiguously within the (split, shard) group
+    offs = [r.bin_offset for r in sorted(out, key=lambda r: r.chunk_idx)]
+    assert offs[0] == 0 and offs == sorted(offs)
+
+    # without the eval set, c comes back; b stays filtered
+    out2 = prepare_training_mix(
+        spans_df(spark, docs), chunk_tokens=8, overlap=0, budget=16, n_shards=2,
+    ).collect()
+    assert {r.doc_id for r in out2} == {"a", "c"}

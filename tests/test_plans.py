@@ -201,3 +201,40 @@ def test_incremental_dedup_with_seen_hashes(spark):
     assert {r.text_hash for r in mixed.collect()} == {
         r.text_hash for r in new_only.collect()
     }
+
+
+def test_decontaminate_corpus_side_is_shuffle_free(spark):
+    """The corpus side of decontamination must stay a pure map: eval grams
+    are aggregated (a one-row exchange) and broadcast; the corpus is never
+    hash-partitioned and never touches Python."""
+    plan = plan_of(entrymod.queries()["decontaminate"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+    # formatted mode prints the partitioning in the Arguments block
+    assert "Arguments: hashpartitioning" not in plan
+
+
+def test_line_dedup_operator_has_exactly_two_data_shuffles(spark):
+    """line_dedup = window keeper (shuffle on md5(line)) + per-doc
+    reassembly (shuffle on doc_id) — anything more is a regression."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(line_dedup(docs))
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_training_mix_plan_two_corpus_shuffles(spark):
+    """The composed mix chain: Arrow extraction, per-row filters, ONE
+    dedup aggregate shuffle, broadcast decontamination, ONE packing-window
+    shuffle. The eval-gram aggregate exchanges a single row and must not
+    show up as a hash partitioning of the corpus."""
+    plan = plan_of(entrymod.queries()["training_mix"](spark, SF_DIR))
+    assert "MapInArrow" in plan or "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Arguments: hashpartitioning") == 2
