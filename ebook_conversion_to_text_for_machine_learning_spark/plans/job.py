@@ -42,14 +42,24 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--repartition", type=int, default=None)
     parser.add_argument(
         "--mode",
-        choices=("extract", "sequences"),
+        choices=("extract", "sequences", "mix"),
         default="extract",
         help="extract: spans out (default). sequences: full curation chain "
         "(extract -> quality -> dedup -> scrub -> chunk -> split) to a "
-        "training-sequence table.",
+        "training-sequence table. mix: sequences plus repetition filter, "
+        "optional eval-set decontamination, and token-budget bin packing.",
     )
     parser.add_argument("--chunk-tokens", type=int, default=128)
     parser.add_argument("--chunk-overlap", type=int, default=16)
+    parser.add_argument("--min-quality", type=float, default=0.5)
+    parser.add_argument("--pack-budget", type=int, default=512)
+    parser.add_argument("--pack-shards", type=int, default=64)
+    parser.add_argument(
+        "--eval-set",
+        default=None,
+        help="mix mode: path/table with a text column; documents whose "
+        "3-gram overlap with it reaches 10%% are dropped (decontamination)",
+    )
     parser.add_argument(
         "--seen-hashes",
         default=None,
@@ -72,8 +82,9 @@ def main(argv: list[str] | None = None) -> None:
             input_df = spark.read.table(args.input)  # Iceberg / catalog table
         else:
             input_df = spark.read.parquet(args.input)
-        if args.mode == "sequences":
+        if args.mode in ("sequences", "mix"):
             from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
+                prepare_training_mix,
                 prepare_training_sequences,
             )
 
@@ -87,12 +98,32 @@ def main(argv: list[str] | None = None) -> None:
                     )
                 except Exception:  # first run: nothing seen yet
                     seen = None
-            seqs = prepare_training_sequences(
-                input_df,
-                chunk_tokens=args.chunk_tokens,
-                overlap=args.chunk_overlap,
-                seen_hashes=seen,
-            )
+            if args.mode == "mix":
+                eval_df = None
+                if args.eval_set:
+                    eval_df = (
+                        spark.read.table(args.eval_set)
+                        if args.catalog
+                        else spark.read.parquet(args.eval_set)
+                    )
+                seqs = prepare_training_mix(
+                    input_df,
+                    eval_df=eval_df,
+                    min_quality=args.min_quality,
+                    chunk_tokens=args.chunk_tokens,
+                    overlap=args.chunk_overlap,
+                    budget=args.pack_budget,
+                    n_shards=args.pack_shards,
+                    seen_hashes=seen,
+                )
+            else:
+                seqs = prepare_training_sequences(
+                    input_df,
+                    min_quality=args.min_quality,
+                    chunk_tokens=args.chunk_tokens,
+                    overlap=args.chunk_overlap,
+                    seen_hashes=seen,
+                )
             # Persist across the write + summary so the chain (extraction
             # included) runs once, not once per action.
             seqs.persist()
@@ -107,7 +138,7 @@ def main(argv: list[str] | None = None) -> None:
                 }
             finally:
                 seqs.unpersist()
-            print(json.dumps({"mode": "sequences", "chunks_by_split": counts}))
+            print(json.dumps({"mode": args.mode, "chunks_by_split": counts}))
         else:
             summary = run_extraction_job(
                 spark,

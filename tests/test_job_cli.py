@@ -162,3 +162,72 @@ def test_job_cli_sequences_mode(spark, tmp_path):
         [l for l in result2.stdout.splitlines() if l.startswith("{")][-1]
     )
     assert summary2["chunks_by_split"] == {}
+
+
+def test_job_cli_mix_mode(spark, tmp_path):
+    """--mode mix runs the packed-bin curation chain via the CLI, with an
+    eval set dropping contaminated documents."""
+    from tests import fixtures as fx
+    from tests.conftest import spans_df
+
+    # the random fixture corpus is deliberately repetitive (repeated
+    # template sentences), which the mix chain's Gopher filter would drop
+    # wholesale — build diverse documents instead, plus one true duplicate.
+    def _doc(i, text):
+        return {"doc_id": f"doc-{i:02d}", "fmt": "txt", "title": None,
+                "author": None, "spans": [("line", text, "", 0)]}
+
+    # Every 3-gram window must carry a per-doc token, otherwise template
+    # 3-grams shared by all docs make everything "contaminated" by doc-00.
+    words = ("fox river mill bridge stone harbor garden meadow lantern "
+             "window stream valley orchard raven copper anvil").split()
+    conns = ("winds over beside through beneath against toward within "
+             "around despite behind past along across near atop").split()
+    docs = [
+        _doc(i, "The " + " ".join(
+            f"{w}{i} {c}" for w, c in zip(words, conns)
+        ) + f" the final{i} gate tonight")
+        for i in range(12)
+    ]
+    docs.append({**docs[1], "doc_id": "doc-dup"})  # exact duplicate
+    in_dir = str(tmp_path / "in")
+    spans_df(spark, docs).write.parquet(in_dir)
+    # eval set = the raw text of one input document → that doc (and its
+    # exact duplicates) must be decontaminated away.
+    eval_dir = str(tmp_path / "eval")
+    eval_text = "".join(s[1] for s in docs[0]["spans"])
+    spark.createDataFrame([(eval_text,)], "text string").write.parquet(eval_dir)
+    out_dir = str(tmp_path / "mix")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    result = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ebook_conversion_to_text_for_machine_learning_spark.plans.job",
+            "--input", in_dir,
+            "--output", out_dir,
+            "--mode", "mix",
+            "--chunk-tokens", "32",
+            "--chunk-overlap", "8",
+            "--pack-budget", "64",
+            "--pack-shards", "4",
+            "--eval-set", eval_dir,
+            "--master", "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    summary = json.loads([l for l in result.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["mode"] == "mix"
+    out = spark.read.parquet(out_dir)
+    assert set(out.columns) == {
+        "split", "shard", "doc_id", "chunk_idx", "text_hash", "chunk_text",
+        "n_tokens", "bin_offset", "bin_id",
+    }
+    rows = out.collect()
+    assert rows and sum(summary["chunks_by_split"].values()) == len(rows)
+    assert all(r.bin_id == r.bin_offset // 64 for r in rows)
+    assert docs[0]["doc_id"] not in {r.doc_id for r in rows}
