@@ -135,3 +135,67 @@ def test_streaming_exact_dedup_first_arrival_wins(spark, tmp_path):
         query.stop()
     texts = sorted(r.text for r in out)
     assert texts == ["other text", "same text"]  # one survivor per hash
+
+
+def test_stream_curation_cross_batch_incremental_dedup(spark, tmp_path):
+    """Each distinct surviving text emits its chunks exactly once across
+    micro-batches: the per-batch seen-hash anti-join makes later arrivals
+    of an already-curated text no-ops."""
+    from ebook_conversion_to_text_for_machine_learning_spark.streaming.curation import (
+        stream_curation,
+    )
+
+    good_a = (
+        "The quick brown fox jumps over the lazy dog and the miller waits "
+        "for the grain in the old mill by the stone bridge near the river"
+    )
+    good_b = (
+        "A copper lantern hangs in the harbor window and the keeper of the "
+        "light waits for the evening boats to find the channel in the fog"
+    )
+
+    def _doc(doc_id, text):
+        return {"doc_id": doc_id, "fmt": "txt", "title": None, "author": None,
+                "spans": [("line", text, "", 0)]}
+
+    in_dir = tmp_path / "in"
+    # file 1: doc a; file 2: a duplicate of a (new doc_id) plus a new doc b.
+    spans_df(spark, [_doc("a1", good_a)]).write.parquet(str(in_dir / "f1"))
+    spans_df(spark, [_doc("a2", good_a), _doc("b1", good_b)]).write.parquet(
+        str(in_dir / "f2")
+    )
+
+    query = stream_curation(
+        spark,
+        f"{in_dir}/*",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        chunk_tokens=16,
+        overlap=0,
+        max_files_per_trigger=1,  # force one input file per micro-batch
+        available_now=True,
+    )
+    query.awaitTermination(180)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = out.collect()
+    # two distinct texts → two distinct hashes, each chunked exactly once
+    assert len({r.text_hash for r in rows}) == 2
+    per_hash = {}
+    for r in rows:
+        per_hash.setdefault(r.text_hash, []).append(r.chunk_idx)
+    for idxs in per_hash.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # no duplicated chunks
+
+    # draining again with the same checkpoint emits nothing new
+    query2 = stream_curation(
+        spark,
+        f"{in_dir}/*",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        chunk_tokens=16,
+        overlap=0,
+        available_now=True,
+    )
+    query2.awaitTermination(180)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == len(rows)
