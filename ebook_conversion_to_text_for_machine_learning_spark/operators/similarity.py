@@ -235,6 +235,17 @@ def ivf_centroids(
     """
     if stride is None:
         stride = max(1, corpus.count() // target_cells)
+        if stride == 1:
+            import warnings
+
+            warnings.warn(
+                "ivf_centroids: corpus smaller than target_cells — every "
+                "vector becomes a centroid, so cell assignment degenerates "
+                "to O(N^2) brute force. Pass a smaller target_cells (e.g. "
+                "~sqrt(N)) when indexing small corpora; the 65536-cell "
+                "default is a lake-scale setting.",
+                stacklevel=2,
+            )
     rows = (
         corpus.where(F.col(id_col) % stride == 0)
         .select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cvec"))

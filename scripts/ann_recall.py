@@ -1,0 +1,81 @@
+"""Measure ANN recall@k against exact cosine top-k on the driver tables.
+
+    python scripts/ann_recall.py [sf_dir]
+
+Sweeps the two recall/cost dials — IVF ``nprobe`` (fraction of cells
+scanned) and LSH ``(n_bands, band_planes)`` (collision S-curve) — and
+prints recall@5 plus wall time for each point. The companion write-up
+(BENCH/NOTES.md, "ANN recall on the driver embeddings") explains why the
+absolute numbers on THIS corpus are bounded by data hardness: the
+synthetic embeddings are near-random (true top-5 cosine ≈ 0.40 vs a 0.28
+p99 background), the regime where no sublinear index beats brute force.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+        similarity as S,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.session import (
+        build_session,
+    )
+
+    spark = build_session(app_name="ann-recall", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    probes = emb.where(F.col("vec_id") < 10)
+    n = emb.count()
+
+    exact = entrymod.queries()["cosine_topk"](spark, sf_dir).toPandas()
+    truth = collections.defaultdict(set)
+    for _, r in exact.iterrows():
+        truth[r.probe_id].add(r.item_id)
+
+    def recall(df) -> float:
+        approx = collections.defaultdict(set)
+        for _, r in df.toPandas().iterrows():
+            approx[r.probe_id].add(r.item_id)
+        hits = sum(len(truth[p] & approx.get(p, set())) for p in truth)
+        return round(hits / sum(len(v) for v in truth.values()), 3)
+
+    # Codebook sized to the corpus (sqrt-ish); the 65536-cell production
+    # default is a LAKE-scale setting — at small N it degenerates to one
+    # centroid per vector (ivf_centroids warns).
+    cells = max(4, int(n ** 0.5))
+    print(f"corpus={n} probes=10 k=5 ivf_cells={cells}")
+    for nprobe in (1, 2, 4, 8, 16):
+        t0 = time.time()
+        r = recall(S.ivf_ann_topk(emb, probes, nprobe=nprobe, target_cells=cells))
+        print(
+            f"ivf nprobe={nprobe:<3} scan~{nprobe / cells:.0%}  "
+            f"recall@5={r:<6} {time.time() - t0:.1f}s"
+        )
+    for n_bands, planes in ((4, 16), (8, 12), (16, 8), (32, 6), (64, 4)):
+        t0 = time.time()
+        r = recall(
+            S.lsh_ann_topk(emb, probes, 64, n_bands=n_bands, band_planes=planes)
+        )
+        print(
+            f"lsh bands={n_bands:<3} planes={planes:<3} "
+            f"recall@5={r:<6} {time.time() - t0:.1f}s"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

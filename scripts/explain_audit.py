@@ -114,6 +114,27 @@ def main() -> None:
         "narrow strings and exact cosine runs only on distinct candidates.",
     )
     add(
+        "Decontamination (broadcast eval array, shuffle-free corpus map)",
+        queries["decontaminate"](spark, sf_dir),
+        "Eval shingles aggregate to one array row and broadcast; the "
+        "corpus side is a pure map with array_intersect in codegen — no "
+        "hash partitioning of the corpus anywhere.",
+    )
+    add(
+        "Line-level dedup (window keeper + reassembly)",
+        queries["line_dedup"](spark, sf_dir),
+        "Exactly two data shuffles: row_number window keyed on md5(line) "
+        "picks the global first occurrence; groupBy(doc_id) rebuilds each "
+        "document from its surviving lines.",
+    )
+    add(
+        "Training mix (two corpus shuffles end-to-end)",
+        queries["training_mix"](spark, sf_dir),
+        "Arrow extraction, per-row quality/repetition filters, ONE dedup "
+        "aggregate shuffle, broadcast decontamination, ONE packing-window "
+        "shuffle sharded on md5-bucket %% n_shards.",
+    )
+    add(
         "Frame sampling (JVM-side bounded explode)",
         M.sample_frames(
             M.attach_payloads(

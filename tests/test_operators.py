@@ -697,3 +697,132 @@ def test_prepare_training_mix_filters_and_packs(spark):
         spans_df(spark, docs), chunk_tokens=8, overlap=0, budget=16, n_shards=2,
     ).collect()
     assert {r.doc_id for r in out2} == {"a", "c"}
+
+
+def test_pack_sequences_randomized_invariants(spark):
+    """Seeded random chunk table: within every (split, shard), offsets are
+    exactly the running sum in (doc_id, chunk_idx) order, bins derive from
+    offsets, and every non-final bin's total is within max_chunk-1 of the
+    budget on either side."""
+    import random
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    rng = random.Random(7)
+    budget, max_chunk = 50, 20
+    rows = []
+    for doc in range(60):
+        for ci in range(rng.randint(1, 5)):
+            rows.append(
+                (rng.choice(["train", "val"]), doc, ci, rng.randint(1, max_chunk))
+            )
+    chunks = spark.createDataFrame(
+        rows, "split string, doc_id long, chunk_idx long, n_chunk_tokens long"
+    )
+    out = pack_sequences(chunks, budget=budget, n_shards=4).collect()
+    assert len(out) == len(rows)
+    groups = {}
+    for r in out:
+        groups.setdefault((r.split, r.shard), []).append(r)
+    for (_, shard), rs in groups.items():
+        rs.sort(key=lambda r: (r.doc_id, r.chunk_idx))
+        run = 0
+        for r in rs:
+            assert r.shard == r.doc_id % 4
+            assert r.bin_offset == run
+            assert r.bin_id == run // budget
+            run += r.n_tokens
+        totals = {}
+        for r in rs:
+            totals[r.bin_id] = totals.get(r.bin_id, 0) + r.n_tokens
+        for b, t in totals.items():
+            if b != max(totals):
+                assert budget - (max_chunk - 1) <= t <= budget + (max_chunk - 1)
+
+
+def test_line_dedup_randomized_invariants(spark):
+    """Seeded random multi-line corpus: the kept lines across the corpus
+    are exactly the distinct input lines (each once), and every document's
+    kept_text preserves its own line order."""
+    import random
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"line variant {i}" for i in range(25)]
+    docs = [
+        (d, "en", "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 6))))
+        for d in range(40)
+    ]
+    out = {r.doc_id: r for r in line_dedup(_docs_df(spark, docs)).collect()}
+    all_input_lines = [ln for _, _, text in docs for ln in text.split("\n")]
+    kept = [
+        ln
+        for r in out.values()
+        if r.kept_text
+        for ln in r.kept_text.split("\n")
+    ]
+    assert sorted(kept) == sorted(set(all_input_lines))
+    assert sum(r.n_kept for r in out.values()) == len(set(all_input_lines))
+    assert sum(r.n_lines for r in out.values()) == len(all_input_lines)
+    for doc_id, _, text in docs:
+        original = text.split("\n")
+        kept_doc = out[doc_id].kept_text.split("\n") if out[doc_id].kept_text else []
+        it = iter(original)
+        assert all(ln in it for ln in kept_doc)  # subsequence check
+
+
+def test_decontaminate_monotone_in_eval_set(spark):
+    """A superset eval corpus can only increase per-doc contamination."""
+    import random
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(30)]
+    corpus = _docs_df(
+        spark,
+        [
+            (d, "en", " ".join(rng.choice(words) for _ in range(rng.randint(3, 30))))
+            for d in range(50)
+        ],
+    )
+    eval_small = _docs_df(
+        spark,
+        [(100 + d, "en", " ".join(rng.choice(words) for _ in range(12))) for d in range(2)],
+    )
+    eval_big = eval_small.unionByName(
+        _docs_df(
+            spark,
+            [(200 + d, "en", " ".join(rng.choice(words) for _ in range(12))) for d in range(6)],
+        )
+    )
+    small = {r.doc_id: r for r in decontaminate(corpus, eval_small).collect()}
+    big = {r.doc_id: r for r in decontaminate(corpus, eval_big).collect()}
+    assert set(small) == set(big)
+    for d in small:
+        assert small[d].n_grams == big[d].n_grams
+        assert big[d].n_contaminated >= small[d].n_contaminated
+        assert not (small[d].contaminated and not big[d].contaminated)
+
+
+def test_stratified_sample_nested_in_rate(spark):
+    """Raising a group's rate only ADDS rows: the kept set at rate r is a
+    subset of the kept set at any r' >= r (bucket-cutoff nesting — the
+    property that makes sampled corpora refinable without resampling)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    df = _docs_df(spark, [(i, "en", f"doc {i}") for i in range(300)])
+    kept = {}
+    for rate in (0.1, 0.3, 0.7):
+        kept[rate] = {r.doc_id for r in stratified_sample(df, {"en": rate}).collect()}
+    assert kept[0.1] <= kept[0.3] <= kept[0.7]
+    assert len(kept[0.1]) < len(kept[0.3]) < len(kept[0.7])
