@@ -812,6 +812,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_near_pairs"] = simhash_near_pairs
 
+    def dedup_components(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = D.simhash_near_pairs(
+            docs, max_hamming=_SIMHASH_MAX_HAMMING
+        ).select("doc_a", "doc_b")
+        out = D.dedup_components(docs.select("doc_id"), pairs)
+        return out.select(
+            "doc_id", F.col("component").cast("long").alias("component"), "is_keeper"
+        )
+
+    q["dedup_components"] = dedup_components
+
     # --- similarity search --------------------------------------------------
     def cosine_topk(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
@@ -1548,6 +1560,32 @@ SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
 FROM banded l JOIN banded r
   ON l.block_id = r.block_id AND l.block_val = r.block_val AND l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= {_SIMHASH_MAX_HAMMING}"""
+
+    # Connected components over the same near-pair graph: transitive
+    # closure via a recursive CTE (min reachable id per node) — the SQL
+    # twin of the Spark label-propagation loop in dedup.dedup_components.
+    o["dedup_components"] = f"""
+WITH RECURSIVE {_sig_ctes},
+blocks(block_id, lo, w) AS (VALUES {block_rows}),
+banded AS (
+  SELECT doc_id, simhash, block_id,
+         (simhash >> lo) & ((1::BIGINT << w) - 1) AS block_val
+  FROM sig CROSS JOIN blocks),
+np AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.block_id = r.block_id AND l.block_val = r.block_val AND l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= {_SIMHASH_MAX_HAMMING}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+          UNION ALL SELECT doc_b, doc_a FROM np),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+SELECT node AS doc_id,
+  CAST(min(r) AS BIGINT) AS component,
+  min(r) = node AS is_keeper
+FROM reach GROUP BY node"""
 
     cosine = _SQL_COSINE.format(p="p.embedding", c="c.embedding")
     o["cosine_topk"] = f"""

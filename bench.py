@@ -72,6 +72,7 @@ def main() -> None:
         "minhash_verified_dedup",
         "simhash_signatures",
         "simhash_near_pairs",
+        "dedup_components",
         "ngram_jaccard",
         "token_stats",
         "quality_scores",

@@ -826,3 +826,34 @@ def test_stratified_sample_nested_in_rate(spark):
         kept[rate] = {r.doc_id for r in stratified_sample(df, {"en": rate}).collect()}
     assert kept[0.1] <= kept[0.3] <= kept[0.7]
     assert len(kept[0.1]) < len(kept[0.3]) < len(kept[0.7])
+
+
+def test_dedup_components_chains_and_keepers(spark):
+    """Similarity is not transitive: a chain a-b, b-c must collapse into
+    ONE cluster even though (a, c) was never a pair."""
+    import pytest as _pytest
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in dedup_components(ids, pairs).collect()}
+    assert {d: r.component for d, r in out.items()} == {
+        0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5,
+    }
+    assert {d for d, r in out.items() if r.is_keeper} == {0, 1, 4, 5}
+
+    # a long path needs diameter iterations; an over-tight bound raises
+    # instead of returning half-propagated labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    ids10 = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    with _pytest.raises(ValueError, match="not converged"):
+        dedup_components(ids10, chain, max_iterations=2)
+    full = {r.doc_id: r.component for r in dedup_components(ids10, chain).collect()}
+    assert set(full.values()) == {0}
