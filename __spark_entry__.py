@@ -599,6 +599,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprints"] = fingerprints
 
+    def document_features(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.operators.features import (
+            document_features as _feat,
+        )
+
+        return _feat(read_table(spark, sf_dir, "documents"))
+
+    q["document_features"] = document_features
+
     # --- curation ----------------------------------------------------------
     def scrub_pii(spark, sf_dir):
         from ebook_conversion_to_text_for_machine_learning_spark.operators import (
@@ -1317,6 +1326,45 @@ b AS (SELECT *, greatest({", ".join(f"score_{lang}" for lang in T.LANG_MARKERS)}
 SELECT doc_id, actual_lang,
   CASE {predicted_cases} ELSE 'und' END AS predicted_lang,
   {", ".join(f"score_{lang}" for lang in T.LANG_MARKERS)}
+FROM b"""
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+        curation as _CUR,
+    )
+
+    _feat_scores = marker_scores.replace("list_filter(toks,", "list_filter(ltoks,")
+    _feat_quality = f"""CASE WHEN len(toks) > 0 THEN
+    floor((0.4 * least(1.0, len(toks)::DOUBLE / 50.0)
+         + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+         + 0.3 * (len(list_filter(toks, x -> list_contains({_STOPWORD_SQL_LIST}, lower(x))))::DOUBLE
+                  / len(toks)::DOUBLE)) * 10000.0 + 0.5) / 10000.0
+    ELSE 0.0 END"""
+    o["document_features"] = f"""
+WITH t AS (SELECT doc_id, text, {tokens} AS toks, {tokens_lower} AS ltoks FROM documents),
+g AS (SELECT *,
+    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END AS g2,
+    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+         i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END AS g3
+  FROM t),
+s AS (SELECT doc_id, text, toks, g2, g3, {_feat_scores} FROM g),
+b AS (SELECT *, greatest({", ".join(f"score_{lang}" for lang in T.LANG_MARKERS)}) AS best FROM s)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+  CAST(len(regexp_extract_all(lower(text), '{T.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+  {_feat_quality} AS quality_score,
+  {", ".join(f"score_{lang}" for lang in T.LANG_MARKERS)},
+  CASE {predicted_cases} ELSE 'und' END AS predicted_lang,
+  CAST(len(regexp_extract_all(text, '{_CUR.URL_PATTERN}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '{_CUR.EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_CUR.PHONE_PATTERN}')) AS BIGINT) AS n_phones,
+  ((len(g2) > 0 AND coalesce(list_aggregate(list_transform(list_distinct(g2),
+      d -> len(list_filter(g2, x -> x = d))), 'max'), 0) * 100 > {T.TOP_2GRAM_PCT} * len(g2))
+   OR (len(g3) > 0 AND coalesce(list_aggregate(list_filter(list_transform(list_distinct(g3),
+      d -> len(list_filter(g3, x -> x = d))), c -> c > 1), 'sum'), 0) * 100 > {T.DUP_3GRAM_PCT} * len(g3))) AS repetitive,
+  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
 FROM b"""
 
     o["fingerprints"] = """

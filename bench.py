@@ -76,6 +76,7 @@ def main() -> None:
         "ngram_jaccard",
         "token_stats",
         "quality_scores",
+        "document_features",
         "scrub_pii",
         "chunk_documents",
         "split_assign",

@@ -1,0 +1,84 @@
+"""One-pass document feature table: every per-row signal in one projection.
+
+The curation operators each expose their core signal as a composable
+column expression (``quality_score_col``, ``repetitive_col``, marker
+scores, PII counts, fingerprints). This module assembles them into a
+single wide SELECT — the feature table a filtering pipeline or quality
+classifier consumes — with ZERO shuffles and zero Python: one parquet
+scan, one codegen'd projection, at any corpus size. Computing the
+signals together also lets Tungsten share the scan and the tokenizer-
+adjacent subexpressions instead of re-reading the corpus once per
+signal table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    URL_PATTERN,
+)
+from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
+    BPE_PATTERN,
+    LANG_MARKERS,
+    quality_score_col,
+    repetitive_col,
+    tokens_col,
+)
+
+
+def document_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id plus the full per-row signal set.
+
+    Columns: token counts (whitespace / distinct / BPE-ish), length,
+    quality score, per-language marker scores + predicted language, PII
+    match counts, the Gopher repetition flag, and the md5 fingerprint.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    toks_lower = tokens_col(F.lower(text))
+    def _score(markers):
+        # closure (not a default arg): PySpark's lambda adapter feeds a
+        # Column into every declared parameter.
+        return F.size(F.filter(toks_lower, lambda t: t.isin(*markers)))
+
+    lang_scores = [
+        _score(markers).cast("long").alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[_score(markers) for markers in LANG_MARKERS.values()])
+    predicted = F.lit("und")
+    for lang, markers in reversed(list(LANG_MARKERS.items())):
+        predicted = F.when(
+            (_score(markers) == best) & (best > 0), F.lit(lang)
+        ).otherwise(predicted)
+    normalized = F.regexp_replace(F.trim(F.lower(text)), " +", " ")
+    return df.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.regexp_count(F.lower(text), F.lit(BPE_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        # guarded: ANSI mode makes the quality ratios throw on empty docs
+        F.when(F.size(toks) > 0, quality_score_col(text))
+        .otherwise(F.lit(0.0))
+        .alias("quality_score"),
+        *lang_scores,
+        predicted.alias("predicted_lang"),
+        F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), 0))
+        .cast("long")
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), 0))
+        .cast("long")
+        .alias("n_phones"),
+        repetitive_col(text).alias("repetitive"),
+        F.md5(normalized).alias("fingerprint"),
+    )

@@ -238,3 +238,12 @@ def test_training_mix_plan_two_corpus_shuffles(spark):
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Arguments: hashpartitioning") == 2
+
+
+def test_document_features_is_one_shuffle_free_projection(spark):
+    """The whole feature table must stay a single codegen'd projection
+    over one scan: no Exchange of any kind, no Python."""
+    plan = plan_of(entrymod.queries()["document_features"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Scan parquet" in plan
