@@ -320,6 +320,9 @@ def line_dedup(df: DataFrame, text_col: str = "text", delim: str = "\n") -> Data
     ``kept_text = ''`` rather than vanishing, so the output is a
     full-corpus projection suitable for a downstream quality filter.
 
+    ``delim`` is a Java regex in the Spark split (the default newline is
+    literal-safe; escape metacharacters when passing custom delimiters).
+
     Mirrors the reference's whole-document append semantics only in
     spirit — the reference (a single-file converter) has no corpus-level
     operator; this is the training-data-pipeline extension the engine
