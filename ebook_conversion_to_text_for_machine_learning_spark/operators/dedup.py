@@ -428,6 +428,9 @@ def dedup_components(
     checkpoint dir for multi-hour production runs. Raises after
     ``max_iterations`` without convergence rather than returning a
     half-propagated labeling.
+
+    ``ids`` must cover every endpoint appearing in ``pairs`` — edges to
+    unknown ids are silently ignored (they have no label row to join).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
