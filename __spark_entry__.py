@@ -672,6 +672,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_signals"] = repetition_signals
 
+    def line_repetition(spark, sf_dir):
+        # same decorated 2-line corpus as line_dedup (the synthetic
+        # documents are single-line)
+        docs = read_table(spark, sf_dir, "documents")
+        shared = docs.where(F.col("doc_id") < 50).select(
+            F.col("doc_id").alias("k"), F.col("text").alias("extra")
+        )
+        decorated = docs.join(
+            F.broadcast(shared), (F.col("doc_id") % 50) == F.col("k")
+        ).select("doc_id", F.concat_ws("\n", "text", "extra").alias("text"))
+        return T.line_repetition_signals(decorated)
+
+    q["line_repetition"] = line_repetition
+
+    def corpus_stats(spark, sf_dir):
+        return T.corpus_stats(read_table(spark, sf_dir, "documents"))
+
+    q["corpus_stats"] = corpus_stats
+
     # --- dedup -------------------------------------------------------------
     def exact_dedup(spark, sf_dir):
         return D.exact_dedup(read_table(spark, sf_dir, "documents"))
@@ -1483,6 +1502,52 @@ SELECT doc_id, n_2grams, top_2gram_cnt, dup_2gram_cnt, n_3grams, top_3gram_cnt, 
   ((top_2gram_cnt * 100 > {T.TOP_2GRAM_PCT} * n_2grams AND n_2grams > 0)
    OR (dup_3gram_cnt * 100 > {T.DUP_3GRAM_PCT} * n_3grams AND n_3grams > 0)) AS repetitive
 FROM m"""
+
+    o["line_repetition"] = """
+WITH dec AS (
+  SELECT d.doc_id, d.text || chr(10) || s.text AS text
+  FROM documents d JOIN documents s ON d.doc_id % 50 = s.doc_id AND s.doc_id < 50),
+l0 AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM dec),
+l AS (SELECT doc_id, unnest(range(0, len(lines))) AS i, lines FROM l0),
+lx AS (SELECT doc_id, lines[i + 1] AS line FROM l),
+pv AS (SELECT doc_id, md5(line) AS h, count(*) AS cnt, sum(length(line)) AS chars
+       FROM lx GROUP BY doc_id, md5(line))
+SELECT doc_id,
+  CAST(sum(cnt) AS BIGINT) AS n_lines,
+  CAST(coalesce(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS n_dup_lines,
+  CAST(sum(chars) AS BIGINT) AS n_line_chars,
+  CAST(coalesce(sum(CASE WHEN cnt > 1 THEN chars END), 0) AS BIGINT) AS n_dup_line_chars
+FROM pv GROUP BY doc_id"""
+
+    o["corpus_stats"] = f"""
+WITH t AS (SELECT lang, text, {tokens} AS toks FROM documents),
+g AS (SELECT *,
+    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         i -> array_to_string(toks[i:i+1], ' ')) ELSE [] END AS g2,
+    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+         i -> array_to_string(toks[i:i+2], ' ')) ELSE [] END AS g3
+  FROM t),
+r AS (SELECT lang,
+    CAST(len(toks) AS BIGINT) AS n_toks,
+    CAST(CASE WHEN len(toks) > 0 THEN
+      floor((0.4 * least(1.0, len(toks)::DOUBLE / 50.0)
+           + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+           + 0.3 * (len(list_filter(toks, x -> list_contains({_STOPWORD_SQL_LIST}, lower(x))))::DOUBLE
+                    / len(toks)::DOUBLE)) * 10000.0 + 0.5)
+      ELSE 0.0 END AS BIGINT) AS q10k,
+    CASE WHEN
+      (len(g2) > 0 AND coalesce(list_aggregate(list_transform(list_distinct(g2),
+          d -> len(list_filter(g2, x -> x = d))), 'max'), 0) * 100 > {T.TOP_2GRAM_PCT} * len(g2))
+      OR (len(g3) > 0 AND coalesce(list_aggregate(list_filter(list_transform(list_distinct(g3),
+          d -> len(list_filter(g3, x -> x = d))), c -> c > 1), 'sum'), 0) * 100 > {T.DUP_3GRAM_PCT} * len(g3))
+    THEN 1 ELSE 0 END AS rep
+  FROM g)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+  CAST(floor(sum(q10k)::DOUBLE / count(*)) AS BIGINT) AS mean_quality_x10k,
+  CAST(sum(rep) AS BIGINT) AS n_repetitive
+FROM r GROUP BY lang"""
 
     o["exact_dedup"] = """
 SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_copies

@@ -83,6 +83,8 @@ def main() -> None:
         "stratified_sample",
         "pack_sequences",
         "repetition_signals",
+        "line_repetition",
+        "corpus_stats",
         "line_dedup",
         "decontaminate",
         "language_id",

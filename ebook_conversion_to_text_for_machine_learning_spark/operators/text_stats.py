@@ -38,10 +38,12 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score_col(text: Column) -> Column:
-    """The rounded quality score as a single per-row expression —
-    composable into a filter chain without a join (used by
-    ``plans.training_prep``). Same arithmetic as ``quality_scores``."""
+def quality_score_x10k_col(text: Column) -> Column:
+    """The quality score scaled to an exact integer (units of 1e-4) —
+    ``floor(score·10⁴ + 0.5)`` BEFORE any division, so aggregations can
+    sum it losslessly. (Dividing by 10⁴ and re-multiplying round-trips
+    through an inexact double whose double→int cast then disagrees
+    between engines: Spark truncates, DuckDB rounds.)"""
     toks = tokens_col(text)
     n = F.size(toks).cast("double")
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
@@ -53,7 +55,14 @@ def quality_score_col(text: Column) -> Column:
         + F.lit(0.3) * distinct_ratio
         + F.lit(0.3) * stop_ratio
     )
-    return F.floor(score * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    return F.floor(score * F.lit(10000.0) + F.lit(0.5))
+
+
+def quality_score_col(text: Column) -> Column:
+    """The rounded quality score as a single per-row expression —
+    composable into a filter chain without a join (used by
+    ``plans.training_prep``). Same arithmetic as ``quality_scores``."""
+    return quality_score_x10k_col(text) / F.lit(10000.0)
 
 
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -270,4 +279,70 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             | (F.col("dup_3gram_cnt") * 100 > F.lit(DUP_3GRAM_PCT) * F.col("n_3grams"))
             & (F.col("n_3grams") > 0)
         ).alias("repetitive"),
+    )
+
+
+def line_repetition_signals(
+    df: DataFrame, text_col: str = "text", delim: str = "\n"
+) -> DataFrame:
+    """Gopher-style LINE-level repetition: per document, the fraction of
+    lines (and of line characters) belonging to a line value that occurs
+    more than once within the document.
+
+    Complements the n-gram signals for multi-line text (boilerplate
+    headers/footers repeat as whole lines long before any 2-gram
+    dominates). Shape: one bounded ``posexplode`` →
+    ``groupBy(doc, md5(line))`` → ``groupBy(doc)`` — both aggregates get
+    map-side partial combine and the second shuffle carries four longs
+    per document. Fractions are also exposed as exact integer counts so
+    the flag arithmetic is engine-portable.
+    """
+    lines = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("line_idx", "line"),
+    )
+    per_value = lines.groupBy("doc_id", F.md5("line").alias("h")).agg(
+        F.count("*").alias("cnt"), F.sum(F.length("line")).alias("chars")
+    )
+    return per_value.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_lines"),
+        F.coalesce(F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0))
+        .cast("long")
+        .alias("n_dup_lines"),
+        F.sum("chars").cast("long").alias("n_line_chars"),
+        F.coalesce(F.sum(F.when(F.col("cnt") > 1, F.col("chars"))), F.lit(0))
+        .cast("long")
+        .alias("n_dup_line_chars"),
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus rollup: documents, tokens, mean quality, and
+    repetitive-document count — the summary table a curation run reports.
+
+    Mean quality is published as ``mean_quality_x10k`` (a BIGINT): the
+    per-row score is exactly representable at 1e-4 granularity, so
+    summing the 10⁴-scaled integer values and integer-dividing by the
+    count is EXACT in any engine — float ``avg()`` would depend on the
+    partial-aggregation summation order and break oracle parity.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    q10k = (
+        F.when(F.size(toks) > 0, quality_score_x10k_col(text)).otherwise(F.lit(0.0))
+    ).cast("long")
+    return (
+        df.select(
+            "lang",
+            F.size(toks).cast("long").alias("_n_tokens"),
+            q10k.alias("_q10k"),
+            repetitive_col(text).cast("long").alias("_rep"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_n_tokens").cast("long").alias("n_tokens"),
+            F.floor(F.sum("_q10k") / F.count("*")).cast("long").alias("mean_quality_x10k"),
+            F.sum("_rep").cast("long").alias("n_repetitive"),
+        )
     )
