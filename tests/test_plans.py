@@ -228,16 +228,18 @@ def test_line_dedup_operator_has_exactly_two_data_shuffles(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_training_mix_plan_two_corpus_shuffles(spark):
-    """The composed mix chain: Arrow extraction, per-row filters, ONE
-    dedup aggregate shuffle, broadcast decontamination, ONE packing-window
-    shuffle. The eval-gram aggregate exchanges a single row and must not
-    show up as a hash partitioning of the corpus."""
+def test_training_mix_plan_shuffle_budget(spark):
+    """The composed mix chain: Arrow extraction, per-row quality filter,
+    ONE text-carrying dedup aggregate shuffle, post-dedup repetition-flag
+    aggregates on narrow gram rows (4 exchanges keyed on text_hash-derived
+    groupings; AQE reuses the dedup exchange so extraction runs once),
+    broadcast decontamination, ONE packing-window shuffle. Exactly two of
+    the exchanges carry document text."""
     plan = plan_of(entrymod.queries()["training_mix"](spark, SF_DIR))
     assert "MapInArrow" in plan or "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan
-    assert plan.count("Arguments: hashpartitioning") == 2
+    assert plan.count("Arguments: hashpartitioning") == 5
 
 
 def test_document_features_is_one_shuffle_free_projection(spark):
