@@ -331,18 +331,19 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     q10k = (
         F.when(F.size(toks) > 0, quality_score_x10k_col(text)).otherwise(F.lit(0.0))
     ).cast("long")
-    return (
-        df.select(
-            "lang",
-            F.size(toks).cast("long").alias("_n_tokens"),
-            q10k.alias("_q10k"),
-            repetitive_col(text).cast("long").alias("_rep"),
-        )
-        .groupBy("lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("_n_tokens").cast("long").alias("n_tokens"),
-            F.floor(F.sum("_q10k") / F.count("*")).cast("long").alias("mean_quality_x10k"),
-            F.sum("_rep").cast("long").alias("n_repetitive"),
-        )
+    # The repetition flag joins in from the explode+aggregate path: the
+    # per-row twin is ~30× the CPU (see document_features), and this
+    # whole operator is an aggregate anyway.
+    flags = repetition_signals(df, text_col=text_col).select("doc_id", "repetitive")
+    per_doc = df.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("_n_tokens"),
+        q10k.alias("_q10k"),
+    ).join(flags, "doc_id")
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.sum("_q10k") / F.count("*")).cast("long").alias("mean_quality_x10k"),
+        F.sum(F.col("repetitive").cast("long")).cast("long").alias("n_repetitive"),
     )

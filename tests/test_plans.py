@@ -242,10 +242,13 @@ def test_training_mix_plan_shuffle_budget(spark):
     assert plan.count("Arguments: hashpartitioning") == 5
 
 
-def test_document_features_is_one_shuffle_free_projection(spark):
-    """The whole feature table must stay a single codegen'd projection
-    over one scan: no Exchange of any kind, no Python."""
+def test_document_features_projection_plus_narrow_flag_join(spark):
+    """Every signal except the repetition flag is one codegen'd
+    projection; the flag joins in from the explode+aggregate path (per-row
+    HOF aggregates interpret at ~30× the CPU — see the operator
+    docstring). Exchanges are limited to the four narrow gram/doc
+    aggregations; the join reuses the doc_id partitioning; no Python."""
     plan = plan_of(entrymod.queries()["document_features"](spark, SF_DIR))
-    assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 4
     assert "Scan parquet" in plan
