@@ -42,12 +42,14 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--repartition", type=int, default=None)
     parser.add_argument(
         "--mode",
-        choices=("extract", "sequences", "mix"),
+        choices=("extract", "sequences", "mix", "compact"),
         default="extract",
         help="extract: spans out (default). sequences: full curation chain "
         "(extract -> quality -> dedup -> scrub -> chunk -> split) to a "
         "training-sequence table. mix: sequences plus repetition filter, "
-        "optional eval-set decontamination, and token-budget bin packing.",
+        "optional eval-set decontamination, and token-budget bin packing. "
+        "compact: dedupe a landed sequence table by text_hash (one chunk "
+        "set per distinct text).",
     )
     parser.add_argument("--chunk-tokens", type=int, default=128)
     parser.add_argument("--chunk-overlap", type=int, default=16)
@@ -82,7 +84,23 @@ def main(argv: list[str] | None = None) -> None:
             input_df = spark.read.table(args.input)  # Iceberg / catalog table
         else:
             input_df = spark.read.parquet(args.input)
-        if args.mode in ("sequences", "mix"):
+        if args.mode == "compact":
+            from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
+                compact_sequences,
+            )
+
+            out = compact_sequences(input_df)
+            out.persist()
+            try:
+                if args.catalog:
+                    out.writeTo(args.output).append()
+                else:
+                    out.write.mode("append").parquet(args.output)
+                kept = out.count()
+            finally:
+                out.unpersist()
+            print(json.dumps({"mode": "compact", "rows_kept": kept}))
+        elif args.mode in ("sequences", "mix"):
             from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
                 prepare_training_mix,
                 prepare_training_sequences,

@@ -262,3 +262,24 @@ def prepare_training_mix(
         shard_col="doc_shard",
         carry_cols=("text_hash", "chunk_text"),
     )
+
+
+def compact_sequences(seqs: DataFrame) -> DataFrame:
+    """Compact a landed training-sequence table: keep exactly one chunk
+    set per ``text_hash`` (the lexicographically-smallest ``doc_id``'s).
+
+    The batch complement promised by the streaming dedup story: the
+    stream guarantees no duplicates within its watermark / seen-hash
+    horizon, and runs started WITHOUT ``--seen-hashes`` (or concurrent
+    writers) can still land the same text twice — this job restores the
+    one-chunk-set-per-text invariant. One hash aggregate on
+    ``(text_hash → min doc_id)`` plus a join back, both keyed on
+    text_hash, so at lake scale the table compacts with a single
+    logical shuffle key and map-side combine.
+    """
+    keepers = seqs.groupBy("text_hash").agg(F.min("doc_id").alias("_keep_doc"))
+    return (
+        seqs.join(keepers, "text_hash")
+        .where(F.col("doc_id") == F.col("_keep_doc"))
+        .drop("_keep_doc")
+    )

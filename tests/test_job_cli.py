@@ -231,3 +231,47 @@ def test_job_cli_mix_mode(spark, tmp_path):
     assert rows and sum(summary["chunks_by_split"].values()) == len(rows)
     assert all(r.bin_id == r.bin_offset // 64 for r in rows)
     assert docs[0]["doc_id"] not in {r.doc_id for r in rows}
+
+
+def test_job_cli_compact_mode(spark, tmp_path):
+    """--mode compact restores one-chunk-set-per-text over a sequence
+    table that landed the same text under two doc ids."""
+    rows = [
+        # text A landed twice (doc a1 earlier run, doc a2 later run)
+        ("a1", "h-aaa", 0, 0, "tok tok tok", 3, "train"),
+        ("a1", "h-aaa", 1, 3, "tok tok", 2, "train"),
+        ("a2", "h-aaa", 0, 0, "tok tok tok", 3, "train"),
+        ("a2", "h-aaa", 1, 3, "tok tok", 2, "train"),
+        # text B landed once
+        ("b1", "h-bbb", 0, 0, "other words here", 3, "val"),
+    ]
+    schema = (
+        "doc_id string, text_hash string, chunk_idx long, chunk_start long, "
+        "chunk_text string, n_chunk_tokens long, split string"
+    )
+    in_dir = str(tmp_path / "seqs")
+    spark.createDataFrame(rows, schema).write.parquet(in_dir)
+    out_dir = str(tmp_path / "compacted")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    result = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ebook_conversion_to_text_for_machine_learning_spark.plans.job",
+            "--input", in_dir,
+            "--output", out_dir,
+            "--mode", "compact",
+            "--master", "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    summary = json.loads([l for l in result.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary == {"mode": "compact", "rows_kept": 3}
+    out = spark.read.parquet(out_dir).collect()
+    assert {(r.doc_id, r.text_hash, r.chunk_idx) for r in out} == {
+        ("a1", "h-aaa", 0), ("a1", "h-aaa", 1), ("b1", "h-bbb", 0),
+    }
