@@ -320,19 +320,24 @@ def line_dedup(df: DataFrame, text_col: str = "text", delim: str = "\n") -> Data
     ``kept_text = ''`` rather than vanishing, so the output is a
     full-corpus projection suitable for a downstream quality filter.
 
-    ``delim`` is a Java regex in the Spark split (the default newline is
-    literal-safe; escape metacharacters when passing custom delimiters).
+    ``delim`` is treated as a LITERAL separator: the split regex is
+    built with ``re.escape`` so metacharacter delimiters (``|``, ``.``)
+    split and reassemble consistently.
 
     Mirrors the reference's whole-document append semantics only in
     spirit — the reference (a single-file converter) has no corpus-level
     operator; this is the training-data-pipeline extension the engine
     adds (C4/RefinedWeb line-level dedup).
     """
+    import re
+
     from pyspark.sql import Window
 
     lines = df.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("line_idx", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(delim), -1)
+        ).alias("line_idx", "line"),
     )
     w = Window.partitionBy(F.md5(F.col("line"))).orderBy("doc_id", "line_idx")
     flagged = lines.withColumn("keep", F.row_number().over(w) == 1)

@@ -49,23 +49,19 @@ def document_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     toks = tokens_col(text)
     toks_lower = tokens_col(F.lower(text))
+
     def _score(markers):
         # closure (not a default arg): PySpark's lambda adapter feeds a
         # Column into every declared parameter.
         return F.size(F.filter(toks_lower, lambda t: t.isin(*markers)))
 
-    lang_scores = [
-        _score(markers).cast("long").alias(f"score_{lang}")
-        for lang, markers in LANG_MARKERS.items()
-    ]
-    best = F.greatest(*[_score(markers) for markers in LANG_MARKERS.values()])
-    predicted = F.lit("und")
-    for lang, markers in reversed(list(LANG_MARKERS.items())):
-        predicted = F.when(
-            (_score(markers) == best) & (best > 0), F.lit(lang)
-        ).otherwise(predicted)
     normalized = F.regexp_replace(F.trim(F.lower(text)), " +", " ")
-    return df.select(
+    # Two-stage select, like language_id: the marker-score HOFs are
+    # interpreted and get no common-subexpression elimination, so compute
+    # each score ONCE here and derive best/predicted from the column
+    # references in a second projection (embedding them inline would
+    # re-tokenize the text ~12x per row).
+    scored = df.select(
         "doc_id",
         F.length(text).cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
@@ -77,8 +73,10 @@ def document_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(F.size(toks) > 0, quality_score_col(text))
         .otherwise(F.lit(0.0))
         .alias("quality_score"),
-        *lang_scores,
-        predicted.alias("predicted_lang"),
+        *[
+            _score(markers).cast("long").alias(f"score_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
         F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), 0))
         .cast("long")
         .alias("n_urls"),
@@ -89,6 +87,26 @@ def document_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("n_phones"),
         F.md5(normalized).alias("fingerprint"),
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    predicted = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        predicted = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(predicted)
+    return scored.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_bpe_tokens",
+        "quality_score",
+        *[F.col(f"score_{lang}") for lang in LANG_MARKERS],
+        predicted.alias("predicted_lang"),
+        "n_urls",
+        "n_emails",
+        "n_phones",
+        "fingerprint",
     ).join(
         repetition_signals(df, text_col=text_col).select("doc_id", "repetitive"),
         "doc_id",

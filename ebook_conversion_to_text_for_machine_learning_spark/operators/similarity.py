@@ -235,15 +235,15 @@ def ivf_centroids(
     """
     if stride is None:
         stride = max(1, corpus.count() // target_cells)
-        if stride == 1:
+        if stride < 4:
             import warnings
 
             warnings.warn(
-                "ivf_centroids: corpus smaller than target_cells — every "
-                "vector becomes a centroid, so cell assignment degenerates "
-                "to O(N^2) brute force. Pass a smaller target_cells (e.g. "
-                "~sqrt(N)) when indexing small corpora; the 65536-cell "
-                "default is a lake-scale setting.",
+                f"ivf_centroids: stride {stride} makes the codebook a "
+                "quarter or more of the corpus, so cell assignment "
+                "approaches O(N^2) brute force. Pass a smaller "
+                "target_cells (e.g. ~sqrt(N)) when indexing small "
+                "corpora; the 65536-cell default is a lake-scale setting.",
                 stacklevel=2,
             )
     rows = (

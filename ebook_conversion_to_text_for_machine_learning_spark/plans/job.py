@@ -92,10 +92,12 @@ def main(argv: list[str] | None = None) -> None:
             out = compact_sequences(input_df)
             out.persist()
             try:
+                # a compaction output is a full rewrite — append would make
+                # the dedup job itself create duplicates on rerun
                 if args.catalog:
-                    out.writeTo(args.output).append()
+                    out.writeTo(args.output).createOrReplace()
                 else:
-                    out.write.mode("append").parquet(args.output)
+                    out.write.mode("overwrite").parquet(args.output)
                 kept = out.count()
             finally:
                 out.unpersist()

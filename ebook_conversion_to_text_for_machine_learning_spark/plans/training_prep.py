@@ -11,9 +11,10 @@ stays one column.
 
 Stage semantics:
 1. extraction — ``extract_spans`` (the reference-parity fold);
-2. quality — ``text_stats.quality_scores`` over the EXTRACTED text (what
-   a curation pipeline actually filters on), threshold on the rounded
-   score so the DuckDB oracle agrees bit-for-bit;
+2. quality — the per-row ``text_stats.quality_score_col`` over the
+   EXTRACTED text (what a curation pipeline actually filters on),
+   threshold on the rounded score so the DuckDB oracle agrees
+   bit-for-bit;
 3. dedup — exact, first-keeper-wins on ``md5(extracted_text)``.
 """
 
@@ -26,11 +27,40 @@ from ebook_conversion_to_text_for_machine_learning_spark.operators.extract impor
     extract_spans,
 )
 from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
-    quality_scores,
     tokens_col,
 )
 
 DEFAULT_MIN_QUALITY = 0.5
+
+
+def _quality_survivors(spans_df: DataFrame, min_quality: float) -> DataFrame:
+    """Shared corpus-entry prefix for every curation plan: extract →
+    drop empty/token-less texts → per-row quality filter. One projection
+    chain, no join, no shuffle — the quality score is computed inline
+    (``quality_score_col``) on every row. Columns: doc_id,
+    extracted_text, quality_score."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
+        quality_score_col,
+    )
+
+    extracted = extract_spans(spans_df).select(
+        "doc_id",
+        F.array_join(F.transform("spans", lambda s: s["text"]), "").alias(
+            "extracted_text"
+        ),
+    )
+    # Filter empty/token-less extractions BEFORE scoring: ANSI mode makes
+    # the ratio divisions throw on zero tokens (and the SQL oracle's CTE
+    # order does the same filtering first).
+    non_empty = extracted.where(
+        (F.length("extracted_text") > 0)
+        & (F.size(tokens_col(F.col("extracted_text"))) > 0)
+    )
+    return non_empty.select(
+        "doc_id",
+        "extracted_text",
+        quality_score_col(F.col("extracted_text")).alias("quality_score"),
+    ).where(F.col("quality_score") >= min_quality)
 
 
 def prepare_training_data(
@@ -50,27 +80,9 @@ def prepare_training_data(
     keys on md5 hashes only — narrow rows, broadcast when small, and at
     lake scale both sides bucket by text_hash.
     """
-    extracted = extract_spans(spans_df).select(
-        "doc_id",
-        F.array_join(F.transform("spans", lambda s: s["text"]), "").alias(
-            "extracted_text"
-        ),
-    )
-    # Filter empty/token-less extractions BEFORE scoring: ANSI mode makes
-    # the ratio divisions throw on zero tokens (and the SQL oracle's CTE
-    # order does the same filtering first).
-    non_empty = extracted.where(
-        (F.length("extracted_text") > 0)
-        & (F.size(tokens_col(F.col("extracted_text"))) > 0)
-    )
-    scored = non_empty.join(
-        quality_scores(non_empty, text_col="extracted_text").select(
-            "doc_id", "quality_score"
-        ),
-        "doc_id",
-    )
-    survivors = scored.where(F.col("quality_score") >= min_quality)
-    out = survivors.groupBy(F.md5("extracted_text").alias("text_hash")).agg(
+    out = _quality_survivors(spans_df, min_quality).groupBy(
+        F.md5("extracted_text").alias("text_hash")
+    ).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count("*").cast("long").alias("n_copies"),
         F.min("quality_score").alias("quality_score"),
@@ -179,21 +191,13 @@ def prepare_training_mix(
         shingles_col,
     )
     from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
-        quality_score_col,
         repetition_signals,
     )
 
-    extracted = extract_spans(spans_df).select(
-        "doc_id",
-        F.array_join(F.transform("spans", lambda s: s["text"]), "").alias("text"),
-    )
-    non_empty = extracted.where(
-        (F.length("text") > 0) & (F.size(tokens_col(F.col("text"))) > 0)
-    )
-    survivors = non_empty.where(quality_score_col(F.col("text")) >= min_quality)
-    keepers = survivors.groupBy(F.md5("text").alias("text_hash")).agg(
+    survivors = _quality_survivors(spans_df, min_quality)
+    keepers = survivors.groupBy(F.md5("extracted_text").alias("text_hash")).agg(
         F.min("doc_id").alias("doc_id"),
-        F.min("text").alias("raw_text"),
+        F.min("extracted_text").alias("raw_text"),
     )
     # Repetition filter AFTER dedup: the flag is a pure function of the
     # text, so every copy in a hash group shares it — computing it once
@@ -273,13 +277,17 @@ def compact_sequences(seqs: DataFrame) -> DataFrame:
     horizon, and runs started WITHOUT ``--seen-hashes`` (or concurrent
     writers) can still land the same text twice — this job restores the
     one-chunk-set-per-text invariant. One hash aggregate on
-    ``(text_hash → min doc_id)`` plus a join back, both keyed on
-    text_hash, so at lake scale the table compacts with a single
-    logical shuffle key and map-side combine.
+    ``(text_hash → min doc_id)`` plus a join back and a
+    ``dropDuplicates`` on the chunk key — all keyed on text_hash, so at
+    lake scale the table compacts on a single logical shuffle key with
+    map-side combine. The dropDuplicates matters: a rerun appends the
+    SAME doc_id's rows again, which the keeper filter alone would keep
+    twice.
     """
     keepers = seqs.groupBy("text_hash").agg(F.min("doc_id").alias("_keep_doc"))
     return (
         seqs.join(keepers, "text_hash")
         .where(F.col("doc_id") == F.col("_keep_doc"))
         .drop("_keep_doc")
+        .dropDuplicates(["text_hash", "chunk_idx"])
     )

@@ -57,10 +57,18 @@ def stream_curation(
     )
 
     def _process(batch_df, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         session = batch_df.sparkSession
         try:
             seen = session.read.parquet(output_dir).select("text_hash")
-        except Exception:  # first batch: nothing landed yet
+        except AnalysisException as ex:
+            # Only the first-batch "nothing landed yet" case may proceed
+            # without a seen set. Any OTHER read failure (transient store
+            # error, corrupt footer) must fail the batch so the stream
+            # retries — swallowing it would silently append duplicates.
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
             seen = None
         (
             prepare_training_sequences(

@@ -132,7 +132,7 @@ def main() -> None:
         queries["training_mix"](spark, sf_dir),
         "Arrow extraction, per-row quality/repetition filters, ONE dedup "
         "aggregate shuffle, broadcast decontamination, ONE packing-window "
-        "shuffle sharded on md5-bucket %% n_shards.",
+        "shuffle sharded on md5-bucket % n_shards.",
     )
     add(
         "Frame sampling (JVM-side bounded explode)",

@@ -242,7 +242,9 @@ def test_job_cli_compact_mode(spark, tmp_path):
         ("a1", "h-aaa", 1, 3, "tok tok", 2, "train"),
         ("a2", "h-aaa", 0, 0, "tok tok tok", 3, "train"),
         ("a2", "h-aaa", 1, 3, "tok tok", 2, "train"),
-        # text B landed once
+        # text B landed once, but its run was replayed: the SAME doc_id's
+        # rows appended twice (mode('append') rerun without --seen-hashes)
+        ("b1", "h-bbb", 0, 0, "other words here", 3, "val"),
         ("b1", "h-bbb", 0, 0, "other words here", 3, "val"),
     ]
     schema = (
