@@ -202,9 +202,14 @@ def _ebook_file_corpus() -> list:
     return corpus
 
 
-def _ebook_files_values_sql() -> str:
-    """Pure-Python twin of ``extract_ebook_files`` (same parsers, same
-    fold, no Spark) emitted as a VALUES oracle."""
+def _file_corpus_values_sql(corpus) -> str:
+    """Expected per-document extraction for an in-memory file corpus,
+    computed by the pure-Python twin of the distributed path: the SAME
+    stdlib parsers (``bytes_to_spans``) and the SAME pure-core fold
+    (``extract_document``), no Spark, no Arrow — so the oracle checks the
+    binary-batch plumbing end-to-end over real files. Shared by the PDF
+    and EPUB/DOCX/TXT ingest oracles; the select-list is the single
+    source of truth for the binary-ingest contract."""
     from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
         extract_document,
     )
@@ -213,7 +218,7 @@ def _ebook_files_values_sql() -> str:
     )
 
     rows = []
-    for name, data in _ebook_file_corpus():
+    for name, data in corpus:
         try:
             fmt, spans = bytes_to_spans(name, data)
         except Exception:
@@ -230,39 +235,14 @@ def _ebook_files_values_sql() -> str:
         "CAST(n_media AS BIGINT) AS n_media, extracted_text "
         f"FROM (VALUES {', '.join(rows)}) AS t(doc_id, fmt, status, n_spans, n_media, extracted_text)"
     )
+
+
+def _ebook_files_values_sql() -> str:
+    return _file_corpus_values_sql(_ebook_file_corpus())
 
 
 def _pdf_files_values_sql() -> str:
-    """Expected per-document extraction for the in-memory PDF corpus,
-    computed by the pure-Python twin of the distributed path: the SAME
-    stdlib PDF parser (``bytes_to_spans``) and the SAME pure-core fold
-    (``extract_document``), no Spark, no Arrow — so the oracle checks the
-    binary-batch plumbing end-to-end over real files."""
-    from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
-        extract_document,
-    )
-    from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
-        bytes_to_spans,
-    )
-
-    rows = []
-    for name, data in _pdf_file_corpus():
-        try:
-            fmt, spans = bytes_to_spans(name, data)
-        except Exception:
-            fmt, spans = "error", []
-        out, status = extract_document(fmt, [(k, t, r) for k, t, r, _o in spans], None, None)
-        n_media = sum(1 for k, _t, _r, _o in out if k == "media_ref")
-        text = "".join(t for _k, t, _r, _o in out)
-        rows.append(
-            f"({_sql_quote(name)}, {_sql_quote(fmt)}, {_sql_quote(status)}, "
-            f"{len(out)}, {n_media}, {_sql_quote(text)})"
-        )
-    return (
-        "SELECT doc_id, fmt, status, CAST(n_spans AS BIGINT) AS n_spans, "
-        "CAST(n_media AS BIGINT) AS n_media, extracted_text "
-        f"FROM (VALUES {', '.join(rows)}) AS t(doc_id, fmt, status, n_spans, n_media, extracted_text)"
-    )
+    return _file_corpus_values_sql(_pdf_file_corpus())
 
 
 def _random_corpus_values_sql() -> str:
@@ -439,13 +419,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extract_random_corpus"] = extract_random_corpus
 
-    def extract_pdf_files(spark, sf_dir):
-        """Real .pdf bytes → stdlib parse (Arrow-batched) → extraction."""
+    def _extract_file_corpus(spark, corpus):
+        """Shared binary-ingest query body: real file bytes → stdlib parse
+        (Arrow-batched) → extraction, projected to the ingest contract."""
         from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
             spans_from_binary_df,
         )
 
-        corpus = _pdf_file_corpus()
         bin_df = spark.createDataFrame(
             [(name, data) for name, data in corpus], "path string, content binary"
         )
@@ -458,28 +438,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_media").cast("long").alias("n_media"),
             F.array_join(F.transform("spans", lambda s: s["text"]), "").alias("extracted_text"),
         )
+
+    def extract_pdf_files(spark, sf_dir):
+        """Real .pdf bytes → stdlib parse (Arrow-batched) → extraction."""
+        return _extract_file_corpus(spark, _pdf_file_corpus())
 
     q["extract_pdf_files"] = extract_pdf_files
 
     def extract_ebook_files(spark, sf_dir):
         """Real EPUB/DOCX/TXT bytes → stdlib zip/XML parse → extraction."""
-        from ebook_conversion_to_text_for_machine_learning_spark.sources.file_ingest import (
-            spans_from_binary_df,
-        )
-
-        corpus = _ebook_file_corpus()
-        bin_df = spark.createDataFrame(
-            [(name, data) for name, data in corpus], "path string, content binary"
-        )
-        extracted = extract_spans(spans_from_binary_df(bin_df))
-        return extracted.select(
-            "doc_id",
-            "fmt",
-            "status",
-            F.col("n_spans").cast("long").alias("n_spans"),
-            F.col("n_media").cast("long").alias("n_media"),
-            F.array_join(F.transform("spans", lambda s: s["text"]), "").alias("extracted_text"),
-        )
+        return _extract_file_corpus(spark, _ebook_file_corpus())
 
     q["extract_ebook_files"] = extract_ebook_files
 
@@ -741,9 +709,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast (word-level vocabs are tiny relative to the corpus); at
         # extreme vocab sizes drop the broadcast hint and let AQE decide.
         tok = docs.select("doc_id", "lang", F.explode(grams).alias("t"))
-        vocab = tok.select("t").distinct().withColumn(
-            "tid", F.monotonically_increasing_id()
-        )
+        # Deterministic token ids: monotonically_increasing_id is
+        # partition-order-dependent, and the vocab feeds BOTH sides of the
+        # pair self-join — a stage retry or AQE replan re-running the
+        # distinct could hand the two sides different ids for the same
+        # token, silently undercounting intersections. xxhash64 is a pure
+        # function of the token (64-bit collisions are negligible at any
+        # realistic vocab size, and a collision could only overcount).
+        vocab = tok.select("t").distinct().withColumn("tid", F.xxhash64("t"))
         grouped = (
             tok.join(F.broadcast(vocab), "t")
             .groupBy("doc_id", "lang")
@@ -867,6 +840,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_signatures"] = lsh_signatures
 
+    # NOTE on the Arrow-path oracle queries (lsh_ann_topk, ivf_ann_topk,
+    # embedding_near_dup): the matmul paths sum floats in a different
+    # order than the oracle's sequential fold, so a plane dot or centroid
+    # ranking within ~1e-13 of a tie COULD bucket differently. The
+    # path-agreement tests pin exactness on the driver corpus; if the
+    # corpus is ever regenerated and a tie appears, switch these queries
+    # to signature_path/assign_path="expr" (bit-identical with the SQL
+    # fold by construction) and keep Arrow for production entry points.
     def lsh_ann_topk(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
         probes = emb.where(F.col("vec_id") < 10)

@@ -110,13 +110,24 @@ def main(argv: list[str] | None = None) -> None:
 
             seen = None
             if args.seen_hashes:
+                from pyspark.errors import AnalysisException
+
                 try:
                     seen = (
                         spark.read.table(args.seen_hashes)
                         if args.catalog
                         else spark.read.parquet(args.seen_hashes)
                     )
-                except Exception:  # first run: nothing seen yet
+                except AnalysisException as ex:
+                    # Only "nothing landed yet" may proceed unseeded; any
+                    # other read failure (typo'd path permissions, corrupt
+                    # footer) must abort — silently disabling the anti-join
+                    # re-emits the whole corpus as duplicates.
+                    if (
+                        "PATH_NOT_FOUND" not in str(ex)
+                        and "TABLE_OR_VIEW_NOT_FOUND" not in str(ex)
+                    ):
+                        raise
                     seen = None
             if args.mode == "mix":
                 eval_df = None

@@ -23,6 +23,7 @@ from __future__ import annotations
 import posixpath
 import zipfile
 from html.parser import HTMLParser
+import zlib
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
 from xml.etree import ElementTree
@@ -181,9 +182,12 @@ def _pdf_file_to_spans_pure(path: str | Path) -> List[InSpan]:
         else:
             data = Path(path).read_bytes()
         rows = pdf_bytes_to_rows(data)
-    except (OSError, ValueError, KeyError, EOFError) as e:
+    except (OSError, ValueError, KeyError, EOFError, zlib.error) as e:
         # Reference: parse/read errors → PDFConversionError
-        # (pdf_converter.py:45-59); zlib.error subclasses OSError.
+        # (pdf_converter.py:45-59). zlib.error subclasses Exception (NOT
+        # OSError), so it is listed explicitly — today decoded_stream
+        # rewraps it as ValueError, but the mapping must not depend on
+        # that.
         raise PDFConversionError(str(e)) from e
     return [(k, t, r, i) for i, (k, t, r) in enumerate(rows)]
 
@@ -251,6 +255,22 @@ def file_to_spans(path: str | Path) -> Tuple[str, List[InSpan]]:
     return fmt, parser(path)
 
 
+def _spans_to_text(fmt: str, spans: List[InSpan], metadata: Optional[dict]) -> str:
+    """Shared string-mode reduction: spans → extracted text, raising on a
+    non-ok extraction status (used by ``convert_file_to_text`` and
+    ``convert_file``'s string mode so the failure contract lives once)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
+        extract_document,
+    )
+
+    meta = metadata or {}
+    rows = [(k, t, r) for k, t, r, _ in spans]
+    out, status = extract_document(fmt, rows, meta.get("title"), meta.get("author"))
+    if status != "ok":
+        raise RuntimeError(f"extraction failed: {status}")
+    return "".join(text for _, text, _, _ in out)
+
+
 def convert_file_to_text(
     path: str | Path,
     metadata: Optional[dict] = None,
@@ -258,17 +278,8 @@ def convert_file_to_text(
     """Drop-in equivalent of the reference's string-mode ``convert_file``:
     file in, extracted text out (chapter breaks as ``***`` separators,
     boilerplate dropped, punctuation folded)."""
-    from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
-        extract_document,
-    )
-
-    metadata = metadata or {}
     fmt, spans = file_to_spans(path)
-    rows = [(k, t, r) for k, t, r, _ in spans]
-    out, status = extract_document(fmt, rows, metadata.get("title"), metadata.get("author"))
-    if status != "ok":
-        raise RuntimeError(f"extraction failed: {status}")
-    return "".join(text for _, text, _, _ in out)
+    return _spans_to_text(fmt, spans, metadata)
 
 
 # ---------------------------------------------------------------------------
@@ -369,20 +380,9 @@ def convert_file(
     block to the (mangled) output path per the format's write rule.
 
     The file is parsed exactly once; both modes reuse the same spans."""
-    from ebook_conversion_to_text_for_machine_learning_spark.core.extract import (
-        extract_document,
-    )
-
     fmt, spans = file_to_spans(path)
     if not save_file:
-        meta = metadata or {}
-        rows = [(k, t, r) for k, t, r, _ in spans]
-        out_spans, status = extract_document(
-            fmt, rows, meta.get("title"), meta.get("author")
-        )
-        if status != "ok":
-            raise RuntimeError(f"extraction failed: {status}")
-        return "".join(text for _, text, _, _ in out_spans)
+        return _spans_to_text(fmt, spans, metadata)
     out = Path(save_path) if save_path is not None else parse_output_path(path)
     for content in _blocks_for(fmt, spans, metadata):
         if content:  # `if content:` driver-loop guard (convert_file.py:77-78)

@@ -198,7 +198,15 @@ class _PdfFile:
         self._scan()
 
     def _scan(self) -> None:
-        for m in _OBJ_RE.finditer(self.data):
+        # Manual cursor, NOT finditer over the whole file: stream bodies
+        # are effectively random bytes (FlateDecode), so "N G obj"
+        # sequences inside them would clobber real objects. After parsing
+        # an object's stream the cursor jumps past it before searching on.
+        pos = 0
+        while True:
+            m = _OBJ_RE.search(self.data, pos)
+            if m is None:
+                break
             num = int(m.group(1))
             i = _skip_ws(self.data, m.end())
             body: dict = {}
@@ -215,10 +223,15 @@ class _PdfFile:
                     length = self.resolve(body.get("Length"))
                     if isinstance(length, int):
                         stream = self.data[i : i + length]
+                        i += length
                     else:  # damaged Length: fall back to scanning
                         end = self.data.find(b"endstream", i)
+                        if end == -1:
+                            end = len(self.data)
                         stream = self.data[i:end].rstrip(b"\r\n")
+                        i = end
             self.objects[num] = (body, stream)
+            pos = max(i, m.end())
 
     def resolve(self, value):
         seen = set()
@@ -372,7 +385,10 @@ def _extract_page_rows(
             stack.append(value)
             continue
         if kind in ("arr", "dict"):
-            stack.append(value)  # array/dict delimiters stay on the stack
+            # Delimiter tokens hold a stack position but must never look
+            # like shown text: pushing the raw b'[' / b']' bytes made the
+            # TJ handler emit them into the line ("[HelloWorld]").
+            stack.append(None)
             continue
         op = value
         if op == "BT":

@@ -33,35 +33,37 @@ def _escape(text: str) -> bytes:
 
 
 def _page_content(items: Sequence[PageItem], image_names: List[str]) -> bytes:
+    """Serialize items IN ORDER: each contiguous run of text lines gets
+    its own BT/ET block and images emit in place, so text-image-text
+    layouts round-trip with the documented item order (a single trailing
+    image pass used to push mid-text images after the whole text block).
+    Blocks descend a shared y cursor so layout-order readers agree."""
     ops: List[bytes] = []
     img_iter = iter(image_names)
-    text_lines = [it for it in items if isinstance(it, str)]
-    # Images first if they precede text in the item order.
-    for it in items:
-        if not isinstance(it, str):
-            name = next(img_iter)
-            ops.append(b"q 100 0 0 100 72 500 cm /" + name.encode() + b" Do Q")
+    y = 720
+    idx = 0
+    while idx < len(items):
+        if isinstance(items[idx], str):
+            run: List[str] = []
+            while idx < len(items) and isinstance(items[idx], str):
+                run.append(items[idx])
+                idx += 1
+            ops.append(b"BT")
+            ops.append(b"/F1 12 Tf")
+            ops.append(b"72 %d Td" % y)
+            first = True
+            for line in run:
+                if not first:
+                    ops.append(b"0 -14 Td")
+                y -= 14
+                ops.append(b"(" + _escape(line) + b") Tj")
+                first = False
+            ops.append(b"ET")
         else:
-            break
-    if text_lines:
-        ops.append(b"BT")
-        ops.append(b"/F1 12 Tf")
-        ops.append(b"72 720 Td")
-        first = True
-        for line in text_lines:
-            if not first:
-                ops.append(b"0 -14 Td")
-            ops.append(b"(" + _escape(line) + b") Tj")
-            first = False
-        ops.append(b"ET")
-    # Trailing images (after the text block).
-    seen_text = False
-    for it in items:
-        if isinstance(it, str):
-            seen_text = True
-        elif seen_text:
             name = next(img_iter)
-            ops.append(b"q 100 0 0 100 72 300 cm /" + name.encode() + b" Do Q")
+            ops.append(b"q 100 0 0 100 72 %d cm /" % y + name.encode() + b" Do Q")
+            y -= 14
+            idx += 1
     return b"\n".join(ops) + b"\n"
 
 

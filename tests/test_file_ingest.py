@@ -504,3 +504,33 @@ def test_pdf_reader_never_crashes_on_garbage(tmp_path):
             pdf_file_to_spans(f)
         except PDFConversionError:
             pass
+
+
+def test_pdf_tj_array_delimiters_not_emitted():
+    """Kerned TJ arrays ('[(Hello) -120 (World)] TJ') must extract the
+    string pieces only — the '[' / ']' delimiter tokens once leaked into
+    the line text."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        _extract_page_rows,
+    )
+
+    rows = _extract_page_rows(b"BT 72 720 Td [(Hello) -120 (World)] TJ ET", {})
+    assert rows == [("line", "HelloWorld\n", "")]
+
+
+def test_pdf_object_scan_skips_stream_bodies():
+    """FlateDecode stream bytes are effectively random: an 'N G obj'
+    sequence INSIDE a stream must not clobber the real object N (it once
+    erased page objects, quarantining valid documents)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        _PdfFile,
+    )
+
+    data = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Length 8 >>\nstream\nx4 0 obj\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Type /Page >>\nendobj\n"
+    )
+    pf = _PdfFile(data)
+    assert pf.objects[4][0].get("Type") == "Page"
+    assert pf.objects[3][1] == b"x4 0 obj"
