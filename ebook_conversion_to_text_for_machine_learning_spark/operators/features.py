@@ -4,11 +4,12 @@ The curation operators each expose their core signal as a composable
 column expression (``quality_score_col``, ``repetitive_col``, marker
 scores, PII counts, fingerprints). This module assembles them into a
 single wide SELECT — the feature table a filtering pipeline or quality
-classifier consumes — with ZERO shuffles and zero Python: one parquet
-scan, one codegen'd projection, at any corpus size. Computing the
-signals together also lets Tungsten share the scan and the tokenizer-
-adjacent subexpressions instead of re-reading the corpus once per
-signal table.
+classifier consumes — with zero Python and no shuffle of document text:
+one parquet scan and one codegen'd projection, plus a narrow
+(doc_id, flag) join for the Gopher repetition flag, whose aggregate
+path is ~30× cheaper CPU than its per-row twin (see
+``document_features``). Computing the signals together lets Tungsten
+share the scan instead of re-reading the corpus once per signal table.
 """
 
 from __future__ import annotations

@@ -299,11 +299,16 @@ def line_repetition_signals(
     ``groupBy(doc, md5(line))`` → ``groupBy(doc)`` — both aggregates get
     map-side partial combine and the second shuffle carries four longs
     per document. Fractions are also exposed as exact integer counts so
-    the flag arithmetic is engine-portable.
+    the flag arithmetic is engine-portable. ``delim`` is a LITERAL
+    separator (``re.escape``d for the split), matching ``line_dedup``.
     """
+    import re
+
     lines = df.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("line_idx", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(delim), -1)
+        ).alias("line_idx", "line"),
     )
     per_value = lines.groupBy("doc_id", F.md5("line").alias("h")).agg(
         F.count("*").alias("cnt"), F.sum(F.length("line")).alias("chars")

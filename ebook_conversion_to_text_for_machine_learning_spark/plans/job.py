@@ -89,6 +89,13 @@ def main(argv: list[str] | None = None) -> None:
                 compact_sequences,
             )
 
+            if not args.catalog and args.input.rstrip("/") == args.output.rstrip("/"):
+                raise SystemExit(
+                    "--mode compact cannot rewrite a parquet dir in place "
+                    "(Spark refuses to overwrite a path it is reading); "
+                    "write to a new --output and swap, or use --catalog "
+                    "tables where createOrReplace commits atomically"
+                )
             out = compact_sequences(input_df)
             out.persist()
             try:
@@ -119,13 +126,16 @@ def main(argv: list[str] | None = None) -> None:
                         else spark.read.parquet(args.seen_hashes)
                     )
                 except AnalysisException as ex:
-                    # Only "nothing landed yet" may proceed unseeded; any
-                    # other read failure (typo'd path permissions, corrupt
-                    # footer) must abort — silently disabling the anti-join
-                    # re-emits the whole corpus as duplicates.
+                    # Only "nothing landed yet" may proceed unseeded —
+                    # missing path/table, or a dir holding no committed
+                    # data files (UNABLE_TO_INFER_SCHEMA after a crashed
+                    # prior write). Any other read failure (permissions,
+                    # corrupt footer) must abort — silently disabling the
+                    # anti-join re-emits the whole corpus as duplicates.
                     if (
                         "PATH_NOT_FOUND" not in str(ex)
                         and "TABLE_OR_VIEW_NOT_FOUND" not in str(ex)
+                        and "UNABLE_TO_INFER_SCHEMA" not in str(ex)
                     ):
                         raise
                     seen = None

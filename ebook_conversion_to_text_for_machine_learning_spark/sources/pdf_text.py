@@ -195,6 +195,10 @@ class _PdfFile:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.objects: Dict[int, Tuple[dict, Optional[bytes]]] = {}
+        #: byte offset just past each object's `obj` keyword, recorded by
+        #: the stream-skipping scan (so scalar re-parses cannot be
+        #: shadowed by fake "N G obj" bytes inside stream bodies)
+        self._offsets: Dict[int, int] = {}
         self._scan()
 
     def _scan(self) -> None:
@@ -208,6 +212,7 @@ class _PdfFile:
             if m is None:
                 break
             num = int(m.group(1))
+            self._offsets[num] = m.end()
             i = _skip_ws(self.data, m.end())
             body: dict = {}
             stream: Optional[bytes] = None
@@ -222,9 +227,16 @@ class _PdfFile:
                         i += 1
                     length = self.resolve(body.get("Length"))
                     if isinstance(length, int):
+                        # Trust Length only if `endstream` actually follows:
+                        # an overstated Length would jump the cursor past
+                        # (and silently drop) later real objects.
+                        j = _skip_ws(self.data, i + length)
+                        if self.data[j : j + 9] != b"endstream":
+                            length = None
+                    if isinstance(length, int):
                         stream = self.data[i : i + length]
                         i += length
-                    else:  # damaged Length: fall back to scanning
+                    else:  # damaged/absent Length: fall back to scanning
                         end = self.data.find(b"endstream", i)
                         if end == -1:
                             end = len(self.data)
@@ -250,11 +262,16 @@ class _PdfFile:
         return value
 
     def _parse_scalar(self, num: int):
-        for m in _OBJ_RE.finditer(self.data):
-            if int(m.group(1)) == num:
-                v, _ = _parse_value(self.data, m.end())
-                return v
-        return None
+        # Offsets come from the stream-skipping scan — a raw finditer here
+        # could match fake "N G obj" bytes inside an earlier stream body
+        # and shadow the real object. A FORWARD indirect /Length (object
+        # scanned later than its use) misses and falls back to the
+        # endstream scan in _scan, which is the damaged-Length path.
+        pos = self._offsets.get(num)
+        if pos is None:
+            return None
+        v, _ = _parse_value(self.data, pos)
+        return v
 
     def decoded_stream(self, num: int) -> bytes:
         body, stream = self.objects.get(num, ({}, None))

@@ -63,11 +63,17 @@ def stream_curation(
         try:
             seen = session.read.parquet(output_dir).select("text_hash")
         except AnalysisException as ex:
-            # Only the first-batch "nothing landed yet" case may proceed
-            # without a seen set. Any OTHER read failure (transient store
-            # error, corrupt footer) must fail the batch so the stream
-            # retries — swallowing it would silently append duplicates.
-            if "PATH_NOT_FOUND" not in str(ex):
+            # Only the "nothing landed yet" states may proceed without a
+            # seen set: a missing path, or an existing dir with no
+            # committed data files (e.g. only _temporary/ from a killed
+            # batch-0 write → UNABLE_TO_INFER_SCHEMA) — neither can hold
+            # duplicates. Any OTHER read failure (transient store error,
+            # corrupt footer) must fail the batch so the stream retries —
+            # swallowing it would silently append duplicates.
+            if (
+                "PATH_NOT_FOUND" not in str(ex)
+                and "UNABLE_TO_INFER_SCHEMA" not in str(ex)
+            ):
                 raise
             seen = None
         (

@@ -128,11 +128,12 @@ def main() -> None:
         "document from its surviving lines.",
     )
     add(
-        "Training mix (two corpus shuffles end-to-end)",
+        "Training mix (two text-carrying shuffles end-to-end)",
         queries["training_mix"](spark, sf_dir),
-        "Arrow extraction, per-row quality/repetition filters, ONE dedup "
-        "aggregate shuffle, broadcast decontamination, ONE packing-window "
-        "shuffle sharded on md5-bucket % n_shards.",
+        "Arrow extraction, per-row quality filter, ONE dedup aggregate "
+        "shuffle, post-dedup repetition-flag aggregates on narrow gram "
+        "rows (AQE reuses the dedup exchange), broadcast decontamination, "
+        "ONE packing-window shuffle sharded on md5-bucket % n_shards.",
     )
     add(
         "Frame sampling (JVM-side bounded explode)",

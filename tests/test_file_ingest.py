@@ -534,3 +534,39 @@ def test_pdf_object_scan_skips_stream_bodies():
     pf = _PdfFile(data)
     assert pf.objects[4][0].get("Type") == "Page"
     assert pf.objects[3][1] == b"x4 0 obj"
+
+
+def test_pdf_overstated_length_does_not_swallow_later_objects():
+    """A garbage /Length larger than the real stream must not jump the
+    scan cursor past subsequent real objects — `endstream` has to follow
+    before the declared length is trusted."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        _PdfFile,
+    )
+
+    data = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Length 60 >>\nstream\n0123456789\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Type /Page >>\nendobj\n"
+    )
+    pf = _PdfFile(data)
+    assert pf.objects[4][0].get("Type") == "Page"
+    assert pf.objects[3][1] == b"0123456789"
+
+
+def test_pdf_indirect_length_not_shadowed_by_stream_bytes():
+    """A fake 'N G obj' sequence inside an earlier stream body must not
+    shadow the real bare-scalar object when resolving an indirect
+    /Length (scalar re-parses use scan-recorded offsets)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        _PdfFile,
+    )
+
+    data = (
+        b"%PDF-1.4\n"
+        b"2 0 obj\n<< /Length 12 >>\nstream\nx7 0 obj 99\nendstream\nendobj\n"
+        b"7 0 obj\n10\nendobj\n"
+        b"3 0 obj\n<< /Length 7 0 R >>\nstream\n0123456789\nendstream\nendobj\n"
+    )
+    pf = _PdfFile(data)
+    assert pf.objects[3][1] == b"0123456789"
