@@ -236,11 +236,16 @@ def blocks_docx(spans: Sequence[InSpan], title: str, author: str) -> List[str]:
 
 
 def extract_docx(spans: Sequence[InSpan], title: str, author: str) -> List[OutSpan]:
-    # Flatten the page atom lists; media-only pages contribute their markers
-    # (the OCR consult happened regardless of the page's fate).
+    # Flatten the page atom lists. Whitespace-only pages are dropped by the
+    # reference's string reduce (docx_converter.py:137 filters
+    # ``line.strip()``) exactly as extract_pdf models it — only their media
+    # markers survive (the OCR consult happened regardless).
     atoms: List[Atom] = []
     for page in _docx_page_atom_lists(spans, title, author):
-        atoms.extend(page)
+        if any(k == "B" or (k == "T" and t.strip()) for k, t in page):
+            atoms.extend(page)
+        else:
+            atoms.extend(a for a in page if a[0] == "M")
     return assemble_output_spans(atoms, joiner="\n", break_text="***", lstrip_chars="*")
 
 

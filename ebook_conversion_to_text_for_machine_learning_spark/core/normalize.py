@@ -73,6 +73,11 @@ def collapse_whitespace_runs(text: str) -> str:
         and "\r" not in stripped
         and "\x0b" not in stripped
         and "\x0c" not in stripped
+        # the ASCII separator block \x1c-\x1f is also regex \s whitespace
+        and "\x1c" not in stripped
+        and "\x1d" not in stripped
+        and "\x1e" not in stripped
+        and "\x1f" not in stripped
     ):
         return stripped
     return _WS_RUN.sub(r"\1", stripped)

@@ -36,21 +36,54 @@ def _append(df: DataFrame, target: str, catalog: bool) -> None:
         df.write.mode("append").parquet(target)
 
 
-def _read_lineage(spark: SparkSession, lineage_path: str, catalog: bool):
+def _read_table_or_none(spark: SparkSession, path: str, catalog: bool):
+    """Read a sink table, returning None only for the "nothing landed yet"
+    states (missing path/table, or an existing dir with no committed data
+    files). Any OTHER failure propagates: treating a transient store error
+    as "first run" would silently disable the resume anti-join and
+    re-append the whole corpus as duplicates."""
+    from pyspark.errors import AnalysisException
+
     try:
         if catalog:
-            return spark.read.table(lineage_path)
-        return spark.read.parquet(lineage_path)
-    except Exception:  # first run: no lineage yet
+            return spark.read.table(path)
+        return spark.read.parquet(path)
+    except AnalysisException as ex:
+        if (
+            "PATH_NOT_FOUND" not in str(ex)
+            and "TABLE_OR_VIEW_NOT_FOUND" not in str(ex)
+            and "UNABLE_TO_INFER_SCHEMA" not in str(ex)
+        ):
+            raise
         return None
 
 
-def resume_filter(input_df: DataFrame, lineage_df: DataFrame | None) -> DataFrame:
-    """Drop documents already committed by a previous run (left anti join)."""
-    if lineage_df is None:
+def resume_filter(
+    input_df: DataFrame,
+    lineage_df: DataFrame | None,
+    committed_output: DataFrame | None = None,
+) -> DataFrame:
+    """Drop documents already committed by a previous run (left anti join).
+
+    ``committed_output`` (the output table itself, doc_id column) closes
+    the output-committed-but-lineage-missing crash window: the output
+    append and the lineage append are separate snapshot commits, so a
+    crash between them leaves documents in output with no lineage row —
+    consulting both makes the restart exact instead of at-least-once.
+    """
+    done_parts = []
+    if lineage_df is not None:
+        done_parts.append(
+            lineage_df.where(F.col("status") == "committed").select("doc_id")
+        )
+    if committed_output is not None:
+        done_parts.append(committed_output.select("doc_id"))
+    if not done_parts:
         return input_df
-    done = lineage_df.where(F.col("status") == "committed").select("doc_id").distinct()
-    return input_df.join(done, "doc_id", "left_anti")
+    done = done_parts[0]
+    for part in done_parts[1:]:
+        done = done.unionByName(part)
+    return input_df.join(done.distinct(), "doc_id", "left_anti")
 
 
 def run_extraction_job(
@@ -69,21 +102,44 @@ def run_extraction_job(
     ``lineage_path``/``metrics_path`` are parquet dirs; with
     ``catalog=True`` they are catalog table names (e.g.
     ``lake.db.extracted``) and every append is an atomic
-    ``writeTo(...).append()`` Iceberg snapshot commit — the resume
-    left-anti join then reads committed doc_ids from the last snapshot, so
-    a restart is exact, not best-effort. Tables are created once with the
-    DDL in ``sources/tables.py``.
+    ``writeTo(...).append()`` Iceberg snapshot commit. The resume
+    left-anti join reads committed doc_ids from BOTH the lineage table
+    and the output table itself (the two appends are separate snapshot
+    commits, so either alone leaves a crash window) — a restart is exact,
+    not best-effort. Tables are created once with the DDL in
+    ``sources/tables.py``.
     """
     run_id = uuid.uuid4().hex
     started = time.time()
 
     lineage_df = None
+    committed_output = None
     if lineage_path:
-        lineage_df = _read_lineage(spark, lineage_path, catalog)
+        lineage_df = _read_table_or_none(spark, lineage_path, catalog)
+        # Resume also consults what actually landed in the OUTPUT table —
+        # doc_id only, a column-pruned scan — so the crash window between
+        # the output append and the lineage commit cannot duplicate rows.
+        # This extra net is best-effort: if the output table is unreadable
+        # for environment reasons (e.g. catalog not configured in a test
+        # harness), fall back to lineage-only resume — the pre-net,
+        # at-least-once behavior — rather than failing a job the lineage
+        # record alone could drive.
+        try:
+            committed_output = _read_table_or_none(spark, output_path, catalog)
+        except Exception:
+            committed_output = None
 
-    todo = resume_filter(input_df, lineage_df)
+    todo = resume_filter(input_df, lineage_df, committed_output)
     extracted = extract_spans(todo, repartition=repartition)
-    extracted.persist()
+    # localCheckpoint, NOT persist: the resume anti-join scans output_path,
+    # and our own output append fires refreshByPath(output_path), which
+    # DROPS any cache whose plan references that path — the metrics and
+    # lineage jobs would then silently recompute against the post-append
+    # table and see none of this run's documents. Checkpointing severs the
+    # plan from the path entirely (swap in reliable checkpoint() with a
+    # checkpoint dir for multi-hour production runs, where an executor
+    # loss should recompute from durable storage rather than fail).
+    extracted = extracted.localCheckpoint()
     try:
         _append(extracted.select("doc_id", "fmt", "spans"), output_path, catalog)
 
@@ -101,9 +157,16 @@ def run_extraction_job(
             )
             .withColumn("run_id", F.lit(run_id))
         )
+        collected = metrics_rows.collect()
         if metrics_path:
-            _append(metrics_rows, metrics_path, catalog)
-        metrics = [row.asDict() for row in metrics_rows.collect()]
+            # write the already-collected handful of rows instead of
+            # re-running the aggregation job for the sink
+            _append(
+                spark.createDataFrame(collected, metrics_rows.schema),
+                metrics_path,
+                catalog,
+            )
+        metrics = [row.asDict() for row in collected]
 
         # Per-partition lineage: partition id, doc/span counts, commit id.
         # Written LAST — committing lineage marks the run complete, so a
@@ -131,7 +194,9 @@ def run_extraction_job(
             _append(lineage, lineage_path + "_partitions", catalog)
             _append(doc_lineage, lineage_path, catalog)
     finally:
-        extracted.unpersist()
+        # checkpointed RDD blocks are released by the ContextCleaner once
+        # this DataFrame goes out of scope; nothing to unpersist.
+        pass
 
     return {
         "run_id": run_id,

@@ -209,3 +209,41 @@ def test_blocks_pdf_yields_every_page_including_blanks():
     out = extract_pdf(spans, "T", "A")
     reduced = "".join(b for b in blocks if b.strip()).lstrip("*\n")
     assert "".join(t for _, t, _, _ in out) == reduced
+
+
+def test_collapse_whitespace_ascii_separator_chars():
+    """\\x1c-\\x1f are regex \\s whitespace: the ASCII fast path must not
+    skip collapsing their runs (reference remove_whitespace collapses
+    every \\s run)."""
+    import re
+
+    from ebook_conversion_to_text_for_machine_learning_spark.core.normalize import (
+        collapse_whitespace_runs,
+    )
+
+    for ch in ("\x1c", "\x1d", "\x1e", "\x1f"):
+        text = f"a{ch}{ch}b"
+        assert collapse_whitespace_runs(text) == f"a{ch}b"
+        assert collapse_whitespace_runs(text) == re.sub(r"(\s)+", r"\1", text.strip())
+
+
+def test_docx_whitespace_only_page_dropped():
+    """A page whose only content is whitespace must vanish from the docx
+    extraction (reference return_string filters line.strip(),
+    docx_converter.py:137) — its media markers survive, its text does not."""
+    from ebook_conversion_to_text_for_machine_learning_spark.core.formats import (
+        extract_docx,
+    )
+
+    spans = [
+        ("para", "Real title", ""),
+        ("page_break", "", ""),
+        ("para", " ", ""),          # whitespace-only page
+        ("page_break", "", ""),
+        ("para", "Chapter 1", ""),
+        ("para", "Hello world.", ""),
+    ]
+    out = extract_docx(spans, "Real title", "Nobody")
+    text = "".join(t for _k, t, _r, _o in out)
+    assert " \n" not in text and not text.startswith(" ")
+    assert "Hello world." in text

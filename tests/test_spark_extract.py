@@ -264,6 +264,14 @@ def test_catalog_mode_routes_writes_through_writeto_append(spark, monkeypatch):
     monkeypatch.setattr(
         runtime_cls, "writeTo", lambda self, table: FakeWriter(self, table), raising=True
     )
+    # No real catalog in the sandbox: resume reads against `lake.db.*`
+    # raise a namespace config error (which the strict read deliberately
+    # propagates in production). This test checks WRITE routing only.
+    from ebook_conversion_to_text_for_machine_learning_spark.plans import pipeline
+
+    monkeypatch.setattr(
+        pipeline, "_read_table_or_none", lambda spark, path, catalog: None
+    )
 
     docs = fx.random_corpus(10, seed=5)
     summary = run_extraction_job(
@@ -344,3 +352,28 @@ def test_salted_repartition_levels_giant_document_skew(spark):
     assert max(giant_spread) < 8
     # The hot partition's fold time drops materially once leveled.
     assert max(c for c, _ in after.values()) <= 0.6 * before[skewed][0]
+
+
+def test_resume_consults_output_table_across_crash_window(spark, tmp_path):
+    """A crash between the output append and the lineage commit leaves
+    documents in output with no lineage row; the restart must consult the
+    output table itself and NOT re-append them."""
+    import shutil
+
+    from ebook_conversion_to_text_for_machine_learning_spark.plans.pipeline import (
+        run_extraction_job,
+    )
+
+    docs = fx.random_corpus(20, seed=9)
+    df = spans_df(spark, docs)
+    out = str(tmp_path / "out")
+    lineage = str(tmp_path / "lineage")
+
+    run_extraction_job(spark, df, out, lineage_path=lineage)
+    assert spark.read.parquet(out).count() == 20
+
+    # Simulate the crash window: output committed, doc lineage lost.
+    shutil.rmtree(lineage)
+    summary = run_extraction_job(spark, df, out, lineage_path=lineage)
+    assert sum(m["docs"] for m in summary["metrics"]) == 0
+    assert spark.read.parquet(out).count() == 20  # no duplicates
