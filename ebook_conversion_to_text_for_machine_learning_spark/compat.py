@@ -61,13 +61,20 @@ class _LoggerProxy:
         self._logger = custom_logger
 
     def __getattr__(self, name: str) -> Any:
+        if name.startswith("_"):
+            # Dunder probes (pickling's __reduce_ex__, copy, etc.) must
+            # fail fast: falling through to self._logger recurses forever
+            # on a partially-constructed instance and made the proxy
+            # unpicklable in Spark closures.
+            raise AttributeError(name)
         if self._logger is None:
             # Match the reference's first-use behavior (_logger.py
-            # _add_basic_logger): ensure a root handler exists so default
-            # logger.info/debug calls are emitted, not silently dropped via
-            # Python's lastResort handler. basicConfig is a no-op when the
+            # _add_basic_logger): ensure a root handler exists AND an
+            # effective INFO level so default logger.info/debug calls are
+            # emitted, not silently dropped (basicConfig without level=
+            # leaves the root at WARNING). basicConfig is a no-op when the
             # application has already configured handlers.
-            logging.basicConfig()
+            logging.basicConfig(level=logging.INFO)
             self._logger = logging.getLogger(
                 "ebook_conversion_to_text_for_machine_learning_spark"
             )

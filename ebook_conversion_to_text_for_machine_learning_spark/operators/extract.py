@@ -1,12 +1,13 @@
-"""Distributed extraction operator — Arrow-batched ``mapInPandas``.
+"""Distributed extraction operator — ``mapInArrow`` over flat Arrow buffers.
 
 The relational shell is declarative (Catalyst plans the scan, pruning, and
 any repartitioning); the per-document sequential semantics run inside one
-vectorized pandas UDF per partition. There is **no row-at-a-time Python
-UDF** anywhere: data crosses the JVM↔Python boundary as Arrow record
-batches only (BASELINE.json input_hint).
+Arrow-batch function per partition (``mapInArrow`` — pyarrow RecordBatch
+in, RecordBatch out, no per-span Python objects). There is **no
+row-at-a-time Python UDF** anywhere: data crosses the JVM↔Python boundary
+as Arrow record batches only (BASELINE.json input_hint).
 
-Skew policy (SURVEY.md §3.4): ``mapInPandas`` is a narrow transformation —
+Skew policy (SURVEY.md §3.4): ``mapInArrow`` is a narrow transformation —
 with well-sized input splits no shuffle is needed at all. For skewed inputs
 (a few files full of giant PDFs), ``salted_repartition`` spreads documents
 uniformly by hashing ``doc_id`` — a full shuffle, used only when requested,
@@ -19,9 +20,6 @@ documents stays within executor memory.
 from __future__ import annotations
 
 from time import perf_counter_ns
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (

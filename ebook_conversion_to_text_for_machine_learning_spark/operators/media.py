@@ -88,6 +88,12 @@ def sample_frames(
     (``md5(hex(bytes))``) — byte-exact and portable to SQL oracles whose
     md5 only accepts strings, where a raw-bytes md5 would need BLOB
     support and a char-based slice would drift on multi-byte UTF-8.
+    
+
+    NULL/empty payloads yield NO frame rows (zero bytes have zero
+    frames) — deliberate, unlike extract_media_features/resize, which
+    emit a status row per media_id; join on media_id with a left side of
+    the features table when a row-per-media view is needed.
     """
     n = F.octet_length("payload")
     n_frames = F.least(

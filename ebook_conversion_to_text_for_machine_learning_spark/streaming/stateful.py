@@ -2,9 +2,9 @@
 
 Demonstrates the arbitrary-state path the engine uses when windowed
 aggregation can't express the semantics: a per-key running extraction
-monitor that maintains (docs_seen, spans_emitted, last_status) across
-micro-batches with a processing-time timeout. State is per group, bounded
-by the key cardinality, and survives restarts via the stream checkpoint.
+monitor that maintains (docs_total, spans_total, batches_seen) across
+micro-batches. State is per group, bounded by the key cardinality, and
+survives restarts via the stream checkpoint.
 """
 
 from __future__ import annotations
@@ -48,7 +48,10 @@ def _update_totals(
     for batch in batches:
         docs += len(batch)
         spans += int(batch["n_spans"].sum())
-        seen += 1
+    # One increment per MICRO-BATCH invocation: the iterator yields one
+    # DataFrame per Arrow chunk (maxRecordsPerBatch), so incrementing
+    # inside the loop over-counted large groups.
+    seen += 1
     state.update((docs, spans, seen))
     yield pd.DataFrame(
         [{"fmt": key[0], "docs_total": docs, "spans_total": spans, "batches_seen": seen}]

@@ -2,9 +2,10 @@
 
 The reference is strictly batch (SURVEY.md §2.7), so this is an engine
 extension, not a ported semantic: the same ``extract_spans`` operator runs
-inside ``foreachBatch``, giving exactly-once file-sink semantics with the
-stream's own checkpoint directory, and reusing the batch pipeline's
-lineage/metrics wiring unchanged.
+inside ``foreachBatch`` with an idempotent per-batch-directory commit
+(foreachBatch alone is at-least-once; overwriting ``batch_id=N`` makes a
+replayed batch rewrite itself instead of duplicating rows), reusing the
+batch pipeline's lineage/metrics wiring unchanged.
 
 ``foreachBatch`` (rather than a direct streaming ``mapInArrow`` lineage) is
 deliberate: each micro-batch is a normal DataFrame, so broadcast joins,
@@ -45,11 +46,17 @@ def stream_extraction(
     )
 
     def _process(batch_df, batch_id: int) -> None:
+        # Idempotent per-batch commit: foreachBatch is at-least-once (a
+        # crash between the sink write and the checkpoint offset commit
+        # replays the batch), so each batch OVERWRITES its own
+        # batch_id=N partition dir — a replay rewrites the same files
+        # instead of appending duplicates. Readers see batch_id as a
+        # partition column via directory discovery.
         (
             extract_spans(batch_df)
             .select("doc_id", "fmt", "spans", "n_spans", "status")
-            .write.mode("append")
-            .parquet(output_dir)
+            .write.mode("overwrite")
+            .parquet(f"{output_dir}/batch_id={batch_id}")
         )
 
     writer = source.writeStream.foreachBatch(_process).option(

@@ -19,10 +19,14 @@ def windowed_event_counts(
     *,
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str = "value",
     watermark: str = "10 minutes",
     window: str = "5 minutes",
 ) -> DataFrame:
-    """Streaming tumbling-window counts with late-data tolerance."""
+    """Streaming tumbling-window counts with late-data tolerance.
+
+    ``value_col`` names the summed measure (parameterized like the other
+    columns — a stream without it would otherwise fail analysis)."""
     # Watermarks require TIMESTAMP (session-TZ); parquet NTZ columns are
     # reinterpreted in the session TZ (pinned to UTC in session.py).
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -31,7 +35,7 @@ def windowed_event_counts(
         .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(value_col).alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -44,7 +48,12 @@ def windowed_event_counts(
 
 
 def start_memory_sink(agg: DataFrame, name: str) -> StreamingQuery:
-    """Test/demo sink: complete-mode in-memory table."""
+    """Test/demo sink ONLY: complete-mode in-memory table. Complete mode
+    retains every window's state and the full result table — the
+    watermark does NOT evict state here, so never use this sink on an
+    unbounded production stream; the bounded-state claim in the module
+    docstring holds for an append-mode sink (e.g.
+    ``writeStream.outputMode("append").format("parquet")``)."""
     return (
         agg.writeStream.outputMode("complete")
         .format("memory")
