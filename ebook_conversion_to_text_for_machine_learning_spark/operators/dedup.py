@@ -312,13 +312,20 @@ def line_dedup(df: DataFrame, text_col: str = "text", delim: str = "\n") -> Data
     only at its first occurrence, ordered by ``(doc_id, line_idx)``, and
     reassemble every document from its surviving lines.
 
-    Scale shape: one window shuffle keyed on ``md5(line)`` (tiny groups —
-    a line's duplicates), then one ``groupBy(doc_id)`` to reassemble.
-    Both shuffles are unavoidable for this semantics (the keeper decision
-    is global, the reassembly is per-document); nothing else touches
-    Python. Documents whose every line loses come back with
-    ``kept_text = ''`` rather than vanishing, so the output is a
-    full-corpus projection suitable for a downstream quality filter.
+    Scale shape: the keeper decision is a ``groupBy(md5(line))`` with
+    ``min(struct(doc_id, line_idx))`` — a PARTIAL aggregate, so the empty
+    line / "***" / boilerplate headers that occur billions of times at
+    lake scale are combined map-side before any shuffle (the round-2
+    ``row_number`` window funneled every corpus-wide occurrence of a line
+    through ONE reducer — windows have no partial aggregation). The
+    join-back that flags each occurrence keys on the same hash; its
+    skewed partitions are splittable by AQE skew-join handling (the
+    keeper side is one row per distinct line, so replicating it across
+    splits is cheap), which a window partition never is. Reassembly is
+    one ``groupBy(doc_id)``. Nothing touches Python. Documents whose
+    every line loses come back with ``kept_text = ''`` rather than
+    vanishing, so the output is a full-corpus projection suitable for a
+    downstream quality filter.
 
     ``delim`` is treated as a LITERAL separator: the split regex is
     built with ``re.escape`` so metacharacter delimiters (``|``, ``.``)
@@ -331,16 +338,23 @@ def line_dedup(df: DataFrame, text_col: str = "text", delim: str = "\n") -> Data
     """
     import re
 
-    from pyspark.sql import Window
-
     lines = df.select(
         "doc_id",
         F.posexplode(
             F.split(F.col(text_col), re.escape(delim), -1)
         ).alias("line_idx", "line"),
+    ).withColumn("line_hash", F.md5(F.col("line")))
+    # min(struct) compares (doc_id, line_idx) lexicographically — identical
+    # keeper choice to the old ORDER BY doc_id, line_idx window, but
+    # map-side combinable and therefore immune to blank-line skew.
+    keepers = lines.groupBy("line_hash").agg(
+        F.min(F.struct("doc_id", "line_idx")).alias("_keeper")
     )
-    w = Window.partitionBy(F.md5(F.col("line"))).orderBy("doc_id", "line_idx")
-    flagged = lines.withColumn("keep", F.row_number().over(w) == 1)
+    flagged = lines.join(keepers, "line_hash").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("_keeper.doc_id"))
+        & (F.col("line_idx") == F.col("_keeper.line_idx")),
+    )
     kept_struct = F.when(F.col("keep"), F.struct("line_idx", "line"))
     return flagged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_lines"),

@@ -339,6 +339,64 @@ def ivf_assign_arrow(
     return corpus.select(id_col, vec_col).mapInPandas(batches, schema=schema)
 
 
+def ivf_probe_cells_arrow(
+    probes: DataFrame,
+    centroids: list,
+    *,
+    nprobe: int = IVF_NPROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-``nprobe`` cells per probe — one numpy matmul per Arrow batch.
+
+    The expression twin (``_cell_ranking``) inlines one struct per centroid
+    with the full centroid vector as literals: at the production
+    ``IVF_TARGET_CELLS = 65536`` that is millions of plan nodes and
+    analysis dies before data flows (round-2 verdict finding). This path
+    keeps the plan CONSTANT-SIZE in the codebook: cosines to all cells are
+    a dense (batch × dim) @ (dim × cells) product, ranked by
+    (round(cos, 4) DESC, centroid_id ASC) exactly as the twin ranks —
+    ``np.argsort(kind="stable")`` over the rounded scores reproduces the
+    min-id tie-break because ``ivf_centroids`` returns centroids sorted by
+    id. Emits (probe_id, probe_vec, probe_cell), ``nprobe`` rows per probe.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = np.array([c[0] for c in centroids], dtype=np.int64)
+    mat = np.array([c[1] for c in centroids], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n_take = min(nprobe, len(ids))
+
+    vec_type = dict(probes.dtypes)[vec_col]
+    id_type = dict(probes.dtypes)[id_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            cos = np.round((vecs / norms) @ mat.T, 4)  # (n, cells)
+            # Stable sort on -cos: ties fall back to column order == id order.
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :n_take]
+            n = len(batch)
+            yield pd.DataFrame(
+                {
+                    "probe_id": batch[id_col].to_numpy().repeat(n_take),
+                    "probe_vec": [
+                        v for v in batch[vec_col] for _ in range(n_take)
+                    ],
+                    "probe_cell": ids[top].ravel(),
+                }
+            )
+
+    return probes.select(id_col, vec_col).mapInPandas(
+        batches, schema=f"probe_id {id_type}, probe_vec {vec_type}, probe_cell long"
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -353,13 +411,16 @@ def ivf_ann_topk(
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine over the probe's ``nprobe`` cells.
 
-    Plan shape at scale: corpus→cell assignment is one numpy matmul per
-    Arrow batch (``assign_path="arrow"``, the production default; pass
-    ``"expr"`` for the interpreted expression twin that is bit-identical to
-    the SQL oracle's fold order). The search then joins the cell-tagged
-    corpus against a broadcast of (probe × nprobe) rows keyed on cell_id,
-    so the corpus is never shuffled and each item is scored at most once
-    per probe (an item lives in exactly one cell).
+    Plan shape at scale: corpus→cell assignment AND probe→cell ranking are
+    one numpy matmul per Arrow batch (``assign_path="arrow"``, the
+    production default — the plan stays constant-size in the codebook, so
+    the advertised 65536-cell setting actually runs; pass ``"expr"`` for
+    the interpreted expression twin that is bit-identical to the SQL
+    oracle's fold order and only viable for small codebooks). The search
+    then joins the cell-tagged corpus against a broadcast of
+    (probe × nprobe) rows keyed on cell_id, so the corpus is never
+    shuffled and each item is scored at most once per probe (an item
+    lives in exactly one cell).
     """
     from pyspark.sql.window import Window
 
@@ -374,22 +435,25 @@ def ivf_ann_topk(
             F.col(vec_col).alias("item_vec"),
             "cell_id",
         )
+        probe_cells = ivf_probe_cells_arrow(
+            probes, centroids, nprobe=nprobe, vec_col=vec_col, id_col=id_col
+        )
     else:
         c = corpus.select(
             F.col(id_col).alias("item_id"),
             F.col(vec_col).alias("item_vec"),
             F.element_at(_cell_ranking(F.col(vec_col), centroids), 1)["centroid_id"].alias("cell_id"),
         )
-    probe_cells = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("probe_vec"),
-        F.explode(
-            F.transform(
-                F.slice(_cell_ranking(F.col(vec_col), centroids), 1, nprobe),
-                lambda s: s["centroid_id"],
-            )
-        ).alias("probe_cell"),
-    )
+        probe_cells = probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            F.explode(
+                F.transform(
+                    F.slice(_cell_ranking(F.col(vec_col), centroids), 1, nprobe),
+                    lambda s: s["centroid_id"],
+                )
+            ).alias("probe_cell"),
+        )
     cosine = F.round(
         _dot(F.col("probe_vec"), F.col("item_vec"))
         / (_norm(F.col("probe_vec")) * _norm(F.col("item_vec"))),

