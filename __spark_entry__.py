@@ -688,6 +688,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate"] = decontaminate
 
+    def decontaminate_join(spark, sf_dir):
+        # Same semantics through the too-big-to-broadcast eval path: narrow
+        # (doc_id, md5(gram)) explode + LEFT SEMI join instead of a
+        # broadcast gram array. Shares the broadcast path's oracle.
+        docs = read_table(spark, sf_dir, "documents")
+        eval_df = docs.where(F.col("doc_id") % 97 == 0)
+        return D.decontaminate(
+            docs, eval_df, n=3, threshold_pct=10, broadcast_eval=False
+        )
+
+    q["decontaminate_join"] = decontaminate_join
+
     def minhash_signatures(spark, sf_dir):
         return D.minhash_signatures(read_table(spark, sf_dir, "documents"))
 
@@ -1566,6 +1578,10 @@ SELECT g.doc_id,
   CAST(coalesce(n_hit, 0) AS BIGINT) AS n_contaminated,
   (len(grams) > 0 AND coalesce(n_hit, 0) * 100 >= 10 * len(grams)) AS contaminated
 FROM g LEFT JOIN h ON g.doc_id = h.doc_id"""
+
+    # The join path computes the identical quantity (shingles are distinct
+    # per doc, so semi-join hit count == intersection size) — same oracle.
+    o["decontaminate_join"] = o["decontaminate"]
 
     o["minhash_signatures"] = f"""
 WITH {_sql_minhash_sig_cte()}

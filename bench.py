@@ -87,6 +87,7 @@ def main() -> None:
         "corpus_stats",
         "line_dedup",
         "decontaminate",
+        "decontaminate_join",
         "language_id",
         "fingerprints",
         "cosine_topk",

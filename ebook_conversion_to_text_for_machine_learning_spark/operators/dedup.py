@@ -379,16 +379,26 @@ def decontaminate(
     n: int = 3,
     threshold_pct: int = 10,
     text_col: str = "text",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents whose word
     ``n``-gram shingles overlap an evaluation set.
 
-    The eval side is aggregated to a single distinct-gram array and
-    broadcast, so the corpus side is a pure map — no shuffle, no explode,
-    no Python; ``array_intersect`` runs in codegen per row. This is the
-    right shape when the eval set is benchmark-sized (≤ millions of
-    grams); for an eval side too large to broadcast, explode both sides
-    and use a left-semi hash join on ``md5(gram)`` instead.
+    ``broadcast_eval=True`` (default): the eval side is aggregated to a
+    single distinct-gram array and broadcast, so the corpus side is a
+    pure map — no shuffle, no explode, no Python; ``array_intersect``
+    runs in codegen per row. This is the right shape when the eval set
+    is benchmark-sized (≤ millions of grams).
+
+    ``broadcast_eval=False``: the held-out-corpus shape for eval sets
+    too large to broadcast. Corpus shingles explode to narrow
+    ``(doc_id, md5(gram))`` rows, a LEFT SEMI join against the distinct
+    eval gram hashes keeps the hits (the join shuffles only 32-byte hash
+    keys, never text, and semi-join stops at first match so eval-side
+    duplicates never multiply rows), a partial-agg count per doc follows,
+    and the per-doc gram total joins back. Same output columns and same
+    oracle as the broadcast path — shingles are distinct per doc, so the
+    hit count equals the intersection size.
 
     A document is ``contaminated`` when at least ``threshold_pct`` percent
     of its distinct shingles appear in the eval set (integer arithmetic —
@@ -396,24 +406,42 @@ def decontaminate(
     flagged.
     """
     grams = shingles_col(F.col(text_col), n)
-    eval_set = (
-        eval_df.select(F.explode(shingles_col(F.col(text_col), n)).alias("g"))
-        .agg(F.array_sort(F.collect_set("g")).alias("_eval_grams"))
-    )
-    return (
-        corpus.crossJoin(F.broadcast(eval_set))
-        .select(
+    if broadcast_eval:
+        eval_set = (
+            eval_df.select(F.explode(shingles_col(F.col(text_col), n)).alias("g"))
+            .agg(F.array_sort(F.collect_set("g")).alias("_eval_grams"))
+        )
+        counted = corpus.crossJoin(F.broadcast(eval_set)).select(
             "doc_id",
             F.size(grams).cast("long").alias("n_grams"),
             F.size(F.array_intersect(grams, F.col("_eval_grams")))
             .cast("long")
             .alias("n_contaminated"),
         )
-        .withColumn(
-            "contaminated",
-            (F.col("n_grams") > 0)
-            & (F.col("n_contaminated") * 100 >= F.lit(threshold_pct) * F.col("n_grams")),
+    else:
+        totals = corpus.select("doc_id", F.size(grams).cast("long").alias("n_grams"))
+        corpus_grams = corpus.select(
+            "doc_id", F.explode(grams).alias("_g")
+        ).select("doc_id", F.md5("_g").alias("gram_hash"))
+        eval_grams = eval_df.select(
+            F.explode(shingles_col(F.col(text_col), n)).alias("_g")
+        ).select(F.md5("_g").alias("gram_hash"))
+        hits = (
+            corpus_grams.join(eval_grams, "gram_hash", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_contaminated"))
         )
+        counted = totals.join(hits, "doc_id", "left").select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+    return counted.withColumn(
+        "contaminated",
+        (F.col("n_grams") > 0)
+        & (F.col("n_contaminated") * 100 >= F.lit(threshold_pct) * F.col("n_grams")),
     )
 
 

@@ -594,6 +594,14 @@ def test_decontaminate_flags_eval_overlap(spark):
     assert rows[1].contaminated and rows[1].n_contaminated == rows[1].n_grams > 0
     assert not rows[2].contaminated and rows[2].n_contaminated == 0
     assert not rows[3].contaminated and rows[3].n_grams == 0
+    # The too-big-to-broadcast join path computes the identical rows.
+    joined = {
+        r.doc_id: r
+        for r in decontaminate(corpus, eval_df, broadcast_eval=False).collect()
+    }
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in joined.items()
+    }
 
 
 def test_stratified_sample_deterministic_and_rate_bounded(spark):

@@ -214,6 +214,17 @@ def test_decontaminate_corpus_side_is_shuffle_free(spark):
     assert "Arguments: hashpartitioning" not in plan
 
 
+def test_decontaminate_join_path_is_semi_join_on_hashes(spark):
+    """broadcast_eval=False must keep the corpus side a LEFT SEMI join on
+    32-byte gram hashes — never collect/broadcast the eval grams as an
+    array (the whole point of the path), and never ship gram text through
+    the exchange."""
+    plan = plan_of(entrymod.queries()["decontaminate_join"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_line_dedup_keeper_is_partial_aggregate_not_window(spark):
     """The keeper decision must be a map-side-combinable partial aggregate
     (min(struct(doc_id, line_idx)) grouped on the line hash), NOT a
