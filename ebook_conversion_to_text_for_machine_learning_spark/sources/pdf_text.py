@@ -9,12 +9,23 @@ pdfminer is not installable in this sandbox, so this module implements the
 subset of the PDF object model that covers the overwhelmingly common
 machine-generated ebook case with nothing but ``re`` + ``zlib``:
 
-- classic cross-reference PDFs (objects scanned directly, so damaged or
-  1.5+ xref-table variants still parse as long as objects are not packed
-  into object streams);
-- uncompressed and FlateDecode content streams;
+- classic cross-reference PDFs (objects scanned directly, so damaged
+  xref tables still parse);
+- PDF 1.5+ cross-reference STREAMS (``/Type /XRef``, FlateDecode + PNG
+  predictors) and object streams (``/Type /ObjStm``): the xref chain is
+  walked newest-first from ``startxref`` so incremental updates resolve
+  to the live object version, and any ObjStm unreachable through a
+  parseable xref is blind-parsed as a fill-in (damaged-file robustness,
+  same spirit as the direct object scan);
+- uncompressed and FlateDecode content streams, with ``/DecodeParms``
+  PNG/TIFF predictors un-applied;
 - text via BT/ET blocks: ``Tj``/``TJ``/``'``/``"`` show-text operators,
   line advances from ``Td``/``TD``/``T*``/``Tm``/``'``;
+- per-font byte→text decoding selected by ``Tf``: simple ``/ToUnicode``
+  CMaps (bfchar/bfrange, 1- and 2-byte codespaces), base encodings
+  (``/WinAnsiEncoding`` → cp1252, ``/MacRomanEncoding``), and
+  ``/Differences`` arrays through a common-glyph AGL subset; fonts
+  without any of these decode as Latin-1 exactly as before;
 - image XObjects referenced by ``Do``, emitted as ``("img", "", objid)``
   in content order — the media_ref matches pdfminer's ``stream.objid``;
 - the reference's 25-page cap (pdf_text_extractor.py:63 ``maxpages=25``).
@@ -25,10 +36,9 @@ first-child-only container recursion reduces to the identity here because
 each extracted line is modeled as its own single-line box (the same shape
 its golden-test PDFs produce, one text box per line).
 
-Not handled (use the pdfminer path for these): encrypted files, object
-streams (ObjStm), CID/Type0 composite fonts, and glyph repositioning via
-``Tm`` with rotation. Strings decode as Latin-1, the identity for the
-simple WinAnsi-ish fonts ebook PDFs use.
+Not handled (use the pdfminer path for these): encrypted files, CID
+fonts WITHOUT a ToUnicode CMap (raw CIDs are font-program-specific), and
+glyph repositioning via ``Tm`` with rotation.
 """
 
 from __future__ import annotations
@@ -186,7 +196,61 @@ def _parse_hex_string(data: bytes, i: int):
     return bytes.fromhex(hexdigits.decode("ascii")), end + 1
 
 
+def _unpredict(data: bytes, predictor: int, columns: int, colors: int = 1,
+               bpc: int = 8) -> bytes:
+    """Reverse a /DecodeParms predictor (xref streams are almost always
+    FlateDecode + PNG Up). Predictor 2 is the TIFF horizontal delta;
+    10-15 are the PNG row filters (the per-row filter byte decides the
+    actual filter, so all five are implemented)."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if predictor == 2:
+        if bpc != 8:
+            raise ValueError(f"TIFF predictor with bpc={bpc} unsupported")
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for j in range(r + bpp, r + rowlen):
+                out[j] = (out[j] + out[j - bpp]) & 0xFF
+        return bytes(out)
+    if predictor < 10:
+        return data
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    n = len(data)
+    while i < n:
+        ft = data[i]
+        i += 1
+        row = bytearray(data[i : i + rowlen])
+        i += rowlen
+        if ft == 1:  # Sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter byte {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
 
 
 class _PdfFile:
@@ -199,7 +263,21 @@ class _PdfFile:
         #: the stream-skipping scan (so scalar re-parses cannot be
         #: shadowed by fake "N G obj" bytes inside stream bodies)
         self._offsets: Dict[int, int] = {}
+        #: byte offset of each object's "N G obj" header — lets the xref
+        #: chain map a startxref/Prev file offset back to the object the
+        #: scan already parsed there
+        self._starts: Dict[int, int] = {}
+        #: non-dict objects recovered from object streams (dicts go
+        #: straight into ``objects``; ObjStm members never carry streams)
+        self._scalars: Dict[int, object] = {}
+        #: per-font-object decoder cache (bytes -> str), built lazily
+        self._font_decoders: Dict[int, object] = {}
         self._scan()
+        # objnum -> (objstm_num, index_in_stream) per the xref stream
+        # chain; authoritative for which ObjStm copy of an object is live
+        self._xref_in_objstm: Dict[int, Tuple[int, int]] = {}
+        self._load_xref_chain()
+        self._load_object_streams()
 
     def _scan(self) -> None:
         # Manual cursor, NOT finditer over the whole file: stream bodies
@@ -213,6 +291,7 @@ class _PdfFile:
                 break
             num = int(m.group(1))
             self._offsets[num] = m.end()
+            self._starts[num] = m.start()
             i = _skip_ws(self.data, m.end())
             body: dict = {}
             stream: Optional[bytes] = None
@@ -245,17 +324,120 @@ class _PdfFile:
             self.objects[num] = (body, stream)
             pos = max(i, m.end())
 
+    # -- PDF 1.5+ cross-reference streams & object streams ------------------
+
+    def _load_xref_chain(self) -> None:
+        """Walk xref STREAMS newest-first (startxref, then /Prev links);
+        the first entry seen for an object number wins, so incremental
+        updates resolve to the live version. Classic ``xref`` tables are
+        skipped — the direct scan already covers offset-addressed objects.
+        Any parse damage abandons the chain (never the file): the blind
+        ObjStm fill-in below still recovers packed objects."""
+        starts_to_num = {v: k for k, v in self._starts.items()}
+        offset = None
+        m = None
+        for m in _STARTXREF_RE.finditer(self.data):
+            pass  # keep the LAST startxref (newest incremental update)
+        if m is not None:
+            offset = int(m.group(1))
+        seen_sections: set = set()
+        while offset is not None and offset not in seen_sections:
+            seen_sections.add(offset)
+            num = starts_to_num.get(offset)
+            if num is None:
+                return  # classic xref table or damaged offset
+            body, stream = self.objects.get(num, ({}, None))
+            if str(body.get("Type")) != "XRef" or stream is None:
+                return
+            try:
+                raw = self.decoded_stream(num)
+                widths = [int(w) for w in body.get("W")]
+                size = int(body.get("Size"))
+                index = body.get("Index") or [0, size]
+                entry_len = sum(widths)
+                pos = 0
+                for s in range(0, len(index) - 1, 2):
+                    first, count = int(index[s]), int(index[s + 1])
+                    for objnum in range(first, first + count):
+                        if pos + entry_len > len(raw):
+                            raise ValueError("xref stream truncated")
+                        fields = []
+                        for w in widths:
+                            fields.append(
+                                int.from_bytes(raw[pos : pos + w], "big") if w else None
+                            )
+                            pos += w
+                        # a zero-width first field defaults to type 1
+                        etype = 1 if fields[0] is None else fields[0]
+                        if etype == 2 and objnum not in self._xref_in_objstm:
+                            self._xref_in_objstm[objnum] = (fields[1], fields[2] or 0)
+            except (TypeError, ValueError, KeyError):
+                return
+            prev = body.get("Prev")
+            offset = int(prev) if isinstance(prev, (int, float)) else None
+
+    def _load_object_streams(self) -> None:
+        """Unpack ``/Type /ObjStm`` members. An object the xref chain maps
+        into a stream OVERWRITES any stale directly-scanned copy (the xref
+        is authoritative for which version is live); objects with no xref
+        verdict only fill in numbers the scan never saw, so a damaged or
+        absent xref degrades to best-effort recovery rather than to the
+        quarantine the round-2 reader produced for every ObjStm-packed
+        file. A corrupt ObjStm is skipped — if it held the page tree the
+        file still fails with "no PDF pages found" (→ quarantine)."""
+        for stm_num in sorted(self.objects):
+            body, stream = self.objects[stm_num]
+            if str(body.get("Type")) != "ObjStm" or stream is None:
+                continue
+            try:
+                raw = self.decoded_stream(stm_num)
+                n = int(self.resolve(body.get("N")))
+                first = int(self.resolve(body.get("First")))
+                header = raw[:first].split()
+                if len(header) < 2 * n:
+                    raise ValueError("ObjStm header truncated")
+                for idx in range(n):
+                    objnum = int(header[2 * idx])
+                    off = int(header[2 * idx + 1])
+                    directed = self._xref_in_objstm.get(objnum)
+                    if directed is not None and directed != (stm_num, idx):
+                        continue  # live version lives elsewhere
+                    if directed is None and (
+                        objnum in self.objects or objnum in self._scalars
+                    ):
+                        continue  # blind fill-in never clobbers
+                    value, _ = _parse_value(raw, first + off)
+                    if isinstance(value, dict):
+                        self.objects[objnum] = (value, None)
+                        self._scalars.pop(objnum, None)
+                    else:
+                        self._scalars[objnum] = value
+                        # drop a stale direct copy so resolve() sees the
+                        # live scalar, not the superseded dict
+                        if directed is not None:
+                            self.objects.pop(objnum, None)
+            except (TypeError, ValueError, KeyError, IndexError):
+                continue
+
     def resolve(self, value):
         seen = set()
         while isinstance(value, _Ref):
-            if value.num in seen or value.num not in self.objects:
+            if value.num in seen:
                 return None
             seen.add(value.num)
+            if value.num not in self.objects:
+                if value.num in self._scalars:  # ObjStm-only scalar object
+                    value = self._scalars[value.num]
+                    continue
+                return None
             body, stream = self.objects[value.num]
             if stream is not None:
                 return (body, stream)
             if body:
                 return body
+            if value.num in self._scalars:  # recovered from an ObjStm
+                value = self._scalars[value.num]
+                continue
             # Bare scalar object (e.g. an indirect /Length): re-parse the
             # raw bytes, since _scan only captures dict bodies.
             value = self._parse_scalar(value.num)
@@ -279,8 +461,10 @@ class _PdfFile:
             return b""
         filt = body.get("Filter")
         filters = [filt] if not isinstance(filt, list) else filt
+        parms = body.get("DecodeParms", body.get("DP"))
+        parms_list = [parms] if not isinstance(parms, list) else parms
         out = stream
-        for f in filters:
+        for fi, f in enumerate(filters):
             if f is None:
                 continue
             if str(f) == "FlateDecode":
@@ -288,6 +472,19 @@ class _PdfFile:
                     out = zlib.decompress(out)
                 except zlib.error as e:  # corrupt stream → parse error
                     raise ValueError(f"FlateDecode failed: {e}") from e
+                p = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
+                if isinstance(p, tuple):
+                    p = p[0]
+                if isinstance(p, dict):
+                    predictor = self.resolve(p.get("Predictor")) or 1
+                    if isinstance(predictor, (int, float)) and predictor > 1:
+                        out = _unpredict(
+                            out,
+                            int(predictor),
+                            int(self.resolve(p.get("Columns")) or 1),
+                            int(self.resolve(p.get("Colors")) or 1),
+                            int(self.resolve(p.get("BitsPerComponent")) or 8),
+                        )
             else:  # unsupported filter (DCT etc.) — not a text stream
                 return b""
         return out
@@ -325,6 +522,208 @@ class _PdfFile:
             num for num, (body, _s) in self.objects.items()
             if str(body.get("Type")) == "Page"
         )
+
+
+# -- per-font byte -> text decoding ----------------------------------------
+
+#: base encoding name -> Python codec. StandardEncoding differs from
+#: Latin-1 only in rarely-shown slots; it keeps the Latin-1 default.
+_BASE_ENCODINGS = {"WinAnsiEncoding": "cp1252", "MacRomanEncoding": "mac_roman"}
+
+#: common-glyph subset of the Adobe Glyph List: ASCII names plus the
+#: punctuation/ligature/accent glyphs machine-generated ebooks actually
+#: put in /Differences arrays. uniXXXX / uXXXXXX names parse directly.
+_GLYPHS: Dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "ellipsis": "…",
+    "bullet": "•", "dagger": "†", "daggerdbl": "‡",
+    "fi": "ﬁ", "fl": "ﬂ", "oe": "œ", "OE": "Œ",
+    "ae": "æ", "AE": "Æ", "guillemotleft": "«",
+    "guillemotright": "»", "guilsinglleft": "‹",
+    "guilsinglright": "›", "copyright": "©",
+    "registered": "®", "trademark": "™", "degree": "°",
+    "minus": "−", "multiply": "×", "divide": "÷",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê",
+    "agrave": "à", "acircumflex": "â", "ccedilla": "ç",
+    "ntilde": "ñ", "adieresis": "ä", "odieresis": "ö",
+    "udieresis": "ü", "Adieresis": "Ä", "Odieresis": "Ö",
+    "Udieresis": "Ü", "germandbls": "ß", "aring": "å",
+    "oslash": "ø", "Aring": "Å", "Oslash": "Ø",
+    "sterling": "£", "yen": "¥", "Euro": "€",
+    "cent": "¢", "section": "§", "paragraph": "¶",
+    "exclamdown": "¡", "questiondown": "¿",
+}
+for _ch in "0123456789":
+    _GLYPHS[
+        ("zero one two three four five six seven eight nine".split())[int(_ch)]
+    ] = _ch
+for _ch in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _GLYPHS[_ch] = _ch
+
+_UNI_GLYPH_RE = re.compile(r"uni([0-9A-Fa-f]{4})$|u([0-9A-Fa-f]{4,6})$")
+
+
+def _glyph_to_char(name: str) -> Optional[str]:
+    if name in _GLYPHS:
+        return _GLYPHS[name]
+    m = _UNI_GLYPH_RE.match(name)
+    if m:
+        return chr(int(m.group(1) or m.group(2), 16))
+    return None
+
+
+def _byte_table(codec: Optional[str]) -> List[str]:
+    """256-entry byte->char table; codec-undefined bytes keep their
+    Latin-1 identity so damaged text degrades instead of raising."""
+    table = []
+    for i in range(256):
+        if codec is None:
+            table.append(chr(i))
+            continue
+        try:
+            table.append(bytes([i]).decode(codec))
+        except UnicodeDecodeError:
+            table.append(chr(i))
+    return table
+
+
+_CMAP_HEX_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_CMAP_SECTION_RE = re.compile(
+    rb"begin(codespacerange|bfchar|bfrange)(.*?)end\1", re.DOTALL
+)
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>|\[|\]")
+
+
+def _utf16be(hexdigits: bytes) -> str:
+    raw = bytes.fromhex(hexdigits.decode("ascii"))
+    if len(raw) % 2:
+        raw += b"\x00"
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def _cmap_decoder(data: bytes):
+    """Build a bytes->str decoder from a simple /ToUnicode CMap
+    (codespacerange + bfchar + bfrange, the shape every mainstream PDF
+    producer emits). Returns None when the CMap yields no mappings."""
+    lengths: set = set()
+    mapping: Dict[Tuple[int, int], str] = {}
+    for m in _CMAP_SECTION_RE.finditer(data):
+        section, body = m.group(1), m.group(2)
+        if section == b"codespacerange":
+            for pm in _CMAP_HEX_PAIR_RE.finditer(body):
+                lengths.add(len(pm.group(1)) // 2)
+        elif section == b"bfchar":
+            for pm in _CMAP_HEX_PAIR_RE.finditer(body):
+                src = pm.group(1)
+                code_len = len(src) // 2
+                lengths.add(code_len)
+                mapping[(code_len, int(src, 16))] = _utf16be(pm.group(2))
+        else:  # bfrange: <lo> <hi> <dst>  |  <lo> <hi> [<d0> <d1> ...]
+            tokens = _CMAP_HEX_RE.findall(body)
+            i = 0
+            while i + 2 <= len(tokens) - 1:
+                lo_h, hi_h = tokens[i], tokens[i + 1]
+                if not lo_h or not hi_h:  # stray bracket — resync
+                    i += 1
+                    continue
+                code_len = len(lo_h) // 2
+                lengths.add(code_len)
+                lo, hi = int(lo_h, 16), int(hi_h, 16)
+                if not tokens[i + 2]:  # '[' form: per-code dst list
+                    j = i + 3
+                    code = lo
+                    while j < len(tokens) and tokens[j]:
+                        mapping[(code_len, code)] = _utf16be(tokens[j])
+                        code += 1
+                        j += 1
+                    i = j + 1  # past ']'
+                else:
+                    base = int(tokens[i + 2], 16)
+                    width = max(2, len(tokens[i + 2]) // 2)
+                    for k in range(min(hi - lo, 0xFFFF) + 1):
+                        value = base + k
+                        nbytes = max(width, (value.bit_length() + 7) // 8)
+                        raw = value.to_bytes(nbytes, "big")
+                        if len(raw) % 2:  # keep UTF-16BE alignment
+                            raw = b"\x00" + raw
+                        mapping[(code_len, lo + k)] = raw.decode(
+                            "utf-16-be", errors="replace"
+                        )
+                    i += 3
+    if not mapping:
+        return None
+    lens_desc = sorted(lengths or {1}, reverse=True)
+    min_len = lens_desc[-1]
+
+    def decode(bs: bytes) -> str:
+        out: List[str] = []
+        i, n = 0, len(bs)
+        while i < n:
+            for length in lens_desc:
+                if i + length <= n:
+                    hit = mapping.get((length, int.from_bytes(bs[i : i + length], "big")))
+                    if hit is not None:
+                        out.append(hit)
+                        i += length
+                        break
+            else:
+                if min_len == 1:  # unmapped 1-byte code: Latin-1 fallback
+                    out.append(chr(bs[i]))
+                i += min_len  # multi-byte codespace: skip the code silently
+        return "".join(out)
+
+    return decode
+
+
+def _font_decoder(pdf: "_PdfFile", font: dict):
+    """Decoder for one font dict: ToUnicode CMap first (authoritative),
+    then /Encoding (base name or dict with /Differences); None means
+    "decode as Latin-1" — the pre-round-3 behavior and the identity for
+    unadorned simple fonts."""
+    tu = font.get("ToUnicode")
+    if isinstance(tu, _Ref):
+        try:
+            dec = _cmap_decoder(pdf.decoded_stream(tu.num))
+        except ValueError:
+            dec = None
+        if dec is not None:
+            return dec
+    enc = font.get("Encoding")
+    if isinstance(enc, _Ref):
+        enc = pdf.resolve(enc)
+        if isinstance(enc, tuple):
+            enc = enc[0]
+    table: Optional[List[str]] = None
+    if isinstance(enc, _Name):
+        codec = _BASE_ENCODINGS.get(str(enc))
+        if codec:
+            table = _byte_table(codec)
+    elif isinstance(enc, dict):
+        base = enc.get("BaseEncoding")
+        table = _byte_table(_BASE_ENCODINGS.get(str(base)) if base else None)
+        code = 0
+        for item in enc.get("Differences") or []:
+            if isinstance(item, (int, float)):
+                code = int(item)
+            else:
+                ch = _glyph_to_char(str(item))
+                if ch is not None and 0 <= code < 256:
+                    table[code] = ch
+                code += 1
+    if table is None:
+        return None
+    return lambda bs: "".join(table[b] for b in bs)
 
 
 _TOKEN_RE = re.compile(
@@ -375,7 +774,9 @@ def _content_tokens(content: bytes):
 
 
 def _extract_page_rows(
-    content: bytes, image_xobjects: Dict[str, int]
+    content: bytes,
+    image_xobjects: Dict[str, int],
+    fonts: Optional[Dict[str, object]] = None,
 ) -> List[Tuple[str, str, str]]:
     """One content stream → ordered (kind, text, media_ref) rows.
 
@@ -384,13 +785,19 @@ def _extract_page_rows(
     ``'``/``"`` next-line-show forms) and at ``ET``; flushed lines keep a
     trailing newline, pdfminer-style. ``Do`` of an image XObject emits an
     img row keyed by the image's object id, as the reference does with
-    ``element.stream.objid``.
+    ``element.stream.objid``. ``Tf`` selects the active font's decoder
+    from ``fonts`` (name → callable or None); fonts without a decoder —
+    and all text before the first ``Tf`` — decode as Latin-1.
     """
     rows: List[Tuple[str, str, str]] = []
     stack: List[object] = []
     line: List[str] = []
     in_text = False
     current_y: Optional[float] = None
+    decoder: Optional[object] = None
+
+    def dec(raw: bytes) -> str:
+        return decoder(raw) if decoder is not None else raw.decode("latin-1")
 
     def flush() -> None:
         if line:
@@ -418,19 +825,27 @@ def _extract_page_rows(
             stack.clear()
         elif op == "Tj" and in_text:
             if stack and isinstance(stack[-1], bytes):
-                line.append(stack[-1].decode("latin-1"))
+                line.append(dec(stack[-1]))
             stack.clear()
         elif op == "TJ" and in_text:
             # Everything bytes-typed back to the array-open marker is shown
             # text; numeric kerns are positioning only.
             for item in stack:
                 if isinstance(item, bytes):
-                    line.append(item.decode("latin-1"))
+                    line.append(dec(item))
             stack.clear()
         elif op in ("'", '"') and in_text:
             flush()
             if stack and isinstance(stack[-1], bytes):
-                line.append(stack[-1].decode("latin-1"))
+                line.append(dec(stack[-1]))
+            stack.clear()
+        elif op == "Tf":
+            # operands are "/FontName size" — the name is the last str
+            fname = next(
+                (x for x in reversed(stack) if isinstance(x, str)), None
+            )
+            if fonts is not None and fname is not None:
+                decoder = fonts.get(fname)
             stack.clear()
         elif op in ("Td", "TD") and in_text:
             ty = stack[-1] if stack and isinstance(stack[-1], (int, float)) else 0
@@ -471,6 +886,7 @@ def pdf_bytes_to_rows(data: bytes) -> List[Tuple[str, str, str]]:
         body, _stream = pdf.objects[page_num]
 
         image_xobjects: Dict[str, int] = {}
+        fonts: Dict[str, object] = {}
         resources = pdf.resolve(body.get("Resources"))
         if isinstance(resources, tuple):
             resources = resources[0]
@@ -484,6 +900,30 @@ def pdf_bytes_to_rows(data: bytes) -> List[Tuple[str, str, str]]:
                         xbody, _xs = pdf.objects[ref.num]
                         if str(xbody.get("Subtype")) == "Image":
                             image_xobjects[name] = ref.num
+            font_res = pdf.resolve(resources.get("Font"))
+            if isinstance(font_res, tuple):
+                font_res = font_res[0]
+            if isinstance(font_res, dict):
+                for name, ref in font_res.items():
+                    if isinstance(ref, _Ref):
+                        if ref.num not in pdf._font_decoders:
+                            fbody = pdf.resolve(ref)
+                            if isinstance(fbody, tuple):
+                                fbody = fbody[0]
+                            try:
+                                pdf._font_decoders[ref.num] = (
+                                    _font_decoder(pdf, fbody)
+                                    if isinstance(fbody, dict)
+                                    else None
+                                )
+                            except (ValueError, KeyError, OverflowError):
+                                pdf._font_decoders[ref.num] = None
+                        fonts[name] = pdf._font_decoders[ref.num]
+                    elif isinstance(ref, dict):  # inline font dict
+                        try:
+                            fonts[name] = _font_decoder(pdf, ref)
+                        except (ValueError, KeyError, OverflowError):
+                            fonts[name] = None
 
         contents = body.get("Contents")
         content_refs = contents if isinstance(contents, list) else [contents]
@@ -492,5 +932,5 @@ def pdf_bytes_to_rows(data: bytes) -> List[Tuple[str, str, str]]:
             for ref in content_refs
             if isinstance(ref, _Ref)
         )
-        rows.extend(_extract_page_rows(content, image_xobjects))
+        rows.extend(_extract_page_rows(content, image_xobjects, fonts))
     return rows

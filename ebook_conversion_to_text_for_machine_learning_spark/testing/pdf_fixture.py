@@ -8,6 +8,20 @@ PDFs exercise (one text line per layout line, images as separate
 elements), so the pure-Python extractor (sources/pdf_text.py) and the
 pdfminer path both see a well-formed file.
 
+``objstm=True`` switches to the PDF 1.5 serialization most modern
+producers emit: every non-stream object (catalog, page tree, pages,
+fonts) packs into a FlateDecode ``/Type /ObjStm``, and the file ends in a
+cross-reference STREAM (``/Type /XRef``, ``W [1 4 2]``, PNG Up predictor)
+instead of a classic table — exercising the extractor's xref-chain walk,
+predictor reversal, and ObjStm unpacking. ``corrupt_objstm=True`` writes
+garbage bytes as the ObjStm payload so the page tree is unrecoverable
+(quarantine-path fixture).
+
+``font_spec`` customizes the F1 font: ``{"encoding": "WinAnsiEncoding"}``
+or ``{"encoding": {"base": ..., "differences": [code, name, ...]}}``
+and/or ``{"tounicode": {"codespace": 1|2, "bfchar": {code: str},
+"bfrange": [(lo, hi, start_str)]}}`` (the CMap ships as a stream object).
+
 Content streams are FlateDecode-compressed when ``compress=True`` —
 covering the dominant machine-generated case — or stored raw.
 """
@@ -15,21 +29,33 @@ covering the dominant machine-generated case — or stored raw.
 from __future__ import annotations
 
 import zlib
-from typing import Dict, List, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
-#: A page item: a text line (shown verbatim, one layout line) or an image
+#: A page item: a text line (shown verbatim, one layout line), an image
 #: marker — ``("img",)`` for a default 1×1 gray XObject, or
 #: ``("img", spec)`` with a dict of ``width``/``height``/``bpc``/
 #: ``color_space``/``filter`` ("FlateDecode" | "DCTDecode" | None) /
 #: ``data`` (raw pixel or JPEG bytes) to exercise the image-decode
-#: pipeline's gates and paths.
+#: pipeline's gates and paths — or ``("rawtext", bytes)`` for one line of
+#: raw show-string bytes (exercises font decoders: the bytes pass to the
+#: active font's ToUnicode/encoding machinery verbatim).
 PageItem = Union[str, tuple]
 
 
 def _escape(text: str) -> bytes:
+    return _escape_bytes(text.encode("latin-1"))
+
+
+def _escape_bytes(raw: bytes) -> bytes:
     return (
-        text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    ).encode("latin-1")
+        raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
+
+
+def _is_text(item: PageItem) -> bool:
+    return isinstance(item, str) or (
+        isinstance(item, tuple) and bool(item) and item[0] == "rawtext"
+    )
 
 
 def _page_content(items: Sequence[PageItem], image_names: List[str]) -> bytes:
@@ -43,10 +69,13 @@ def _page_content(items: Sequence[PageItem], image_names: List[str]) -> bytes:
     y = 720
     idx = 0
     while idx < len(items):
-        if isinstance(items[idx], str):
-            run: List[str] = []
-            while idx < len(items) and isinstance(items[idx], str):
-                run.append(items[idx])
+        if _is_text(items[idx]):
+            run: List[bytes] = []
+            while idx < len(items) and _is_text(items[idx]):
+                it = items[idx]
+                run.append(
+                    _escape(it) if isinstance(it, str) else _escape_bytes(it[1])
+                )
                 idx += 1
             ops.append(b"BT")
             ops.append(b"/F1 12 Tf")
@@ -56,7 +85,7 @@ def _page_content(items: Sequence[PageItem], image_names: List[str]) -> bytes:
                 if not first:
                     ops.append(b"0 -14 Td")
                 y -= 14
-                ops.append(b"(" + _escape(line) + b") Tj")
+                ops.append(b"(" + line + b") Tj")
                 first = False
             ops.append(b"ET")
         else:
@@ -68,7 +97,12 @@ def _page_content(items: Sequence[PageItem], image_names: List[str]) -> bytes:
 
 
 def build_pdf(
-    pages: Sequence[Sequence[PageItem]], *, compress: bool = True
+    pages: Sequence[Sequence[PageItem]],
+    *,
+    compress: bool = True,
+    objstm: bool = False,
+    corrupt_objstm: bool = False,
+    font_spec: Optional[dict] = None,
 ) -> Tuple[bytes, List[List[int]]]:
     """Serialize a PDF; returns ``(pdf_bytes, image_object_ids_per_page)``.
 
@@ -87,20 +121,49 @@ def build_pdf(
         next_num += 2
         imgs = []
         for it in items:
-            if not isinstance(it, str):
+            if isinstance(it, tuple) and it and it[0] == "img":
                 imgs.append(next_num)
                 next_num += 1
         image_nums.append(imgs)
 
     bodies: Dict[int, bytes] = {}
+    streams: Dict[int, bytes] = {}
     kids = " ".join(f"{n} 0 R" for n in page_nums)
     bodies[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     bodies[2] = (
         f"<< /Type /Pages /Kids [{kids}] /Count {len(pages)} >>".encode()
     )
-    bodies[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    font_extra = ""
+    if font_spec and "tounicode" in font_spec:
+        tu_num = next_num
+        next_num += 1
+        cmap = _cmap_bytes(font_spec["tounicode"])
+        payload = zlib.compress(cmap)
+        streams[tu_num] = payload
+        bodies[tu_num] = (
+            f"<< /Filter /FlateDecode /Length {len(payload)} >>".encode()
+        )
+        font_extra += f" /ToUnicode {tu_num} 0 R"
+    if font_spec and "encoding" in font_spec:
+        enc = font_spec["encoding"]
+        if isinstance(enc, str):
+            font_extra += f" /Encoding /{enc}"
+        else:
+            parts = []
+            if enc.get("base"):
+                parts.append(f"/BaseEncoding /{enc['base']}")
+            diffs = enc.get("differences") or []
+            if diffs:
+                ser = " ".join(
+                    str(d) if isinstance(d, int) else f"/{d}" for d in diffs
+                )
+                parts.append(f"/Differences [ {ser} ]")
+            font_extra += f" /Encoding << {' '.join(parts)} >>"
+    bodies[3] = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        f"{font_extra} >>"
+    ).encode()
 
-    streams: Dict[int, bytes] = {}
     for pi, items in enumerate(pages):
         names = [f"Im{j}" for j in range(len(image_nums[pi]))]
         xobj = ""
@@ -126,7 +189,11 @@ def build_pdf(
             streams[content_nums[pi]] = content
             bodies[content_nums[pi]] = f"<< /Length {len(content)} >>".encode()
 
-        specs = [it[1] if len(it) > 1 else {} for it in items if not isinstance(it, str)]
+        specs = [
+            it[1] if len(it) > 1 else {}
+            for it in items
+            if isinstance(it, tuple) and it and it[0] == "img"
+        ]
         for num, spec in zip(image_nums[pi], specs):
             width = spec.get("width", 1)
             height = spec.get("height", 1)
@@ -146,7 +213,13 @@ def build_pdf(
                 f"{filter_entry} /Length {len(payload)} >>"
             ).encode()
 
-    # --- serialize with a correct xref table -----------------------------
+    if objstm:
+        return (
+            _serialize_objstm(bodies, streams, corrupt_objstm),
+            image_nums,
+        )
+
+    # --- serialize with a correct classic xref table ----------------------
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: Dict[int, int] = {}
     for num in sorted(bodies):
@@ -167,3 +240,117 @@ def build_pdf(
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out), image_nums
+
+
+def _cmap_bytes(spec: dict) -> bytes:
+    """Serialize a minimal ToUnicode CMap from a test spec."""
+    nbytes = int(spec.get("codespace", 1))
+    width = nbytes * 2
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin begincmap",
+        b"1 begincodespacerange",
+        f"<{'0' * width}> <{'f' * width}>".encode(),
+        b"endcodespacerange",
+    ]
+    bfchar = spec.get("bfchar") or {}
+    if bfchar:
+        lines.append(f"{len(bfchar)} beginbfchar".encode())
+        for code, dst in sorted(bfchar.items()):
+            dst_hex = dst.encode("utf-16-be").hex()
+            lines.append(f"<{code:0{width}x}> <{dst_hex}>".encode())
+        lines.append(b"endbfchar")
+    bfrange = spec.get("bfrange") or []
+    if bfrange:
+        lines.append(f"{len(bfrange)} beginbfrange".encode())
+        for lo, hi, start in bfrange:
+            start_hex = start.encode("utf-16-be").hex()
+            lines.append(
+                f"<{lo:0{width}x}> <{hi:0{width}x}> <{start_hex}>".encode()
+            )
+        lines.append(b"endbfrange")
+    lines += [b"endcmap end end"]
+    return b"\n".join(lines) + b"\n"
+
+
+def _png_up_predict(rows: bytes, rowlen: int) -> bytes:
+    """Forward PNG Up filter (type byte 2 per row) — what real producers
+    apply to xref streams; the extractor must reverse it."""
+    out = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(rows), rowlen):
+        row = rows[r : r + rowlen]
+        out.append(2)
+        out += bytes((row[j] - prev[j]) & 0xFF for j in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def _serialize_objstm(
+    bodies: Dict[int, bytes], streams: Dict[int, bytes], corrupt: bool
+) -> bytes:
+    """PDF 1.5 serialization: non-stream objects pack into one ObjStm;
+    the file ends in an xref STREAM (W [1 4 2], FlateDecode + PNG Up
+    predictor) — no classic table, no classic trailer."""
+    packed = [n for n in sorted(bodies) if n not in streams]
+    direct = [n for n in sorted(bodies) if n in streams]
+    stm_num = max(bodies) + 1
+    xref_num = stm_num + 1
+
+    header_parts = []
+    payload_parts = []
+    cur = 0
+    packed_idx: Dict[int, int] = {}
+    for idx, n in enumerate(packed):
+        packed_idx[n] = idx
+        header_parts.append(f"{n} {cur}")
+        payload_parts.append(bodies[n])
+        cur += len(bodies[n]) + 1  # single-space joiner below
+    header = (" ".join(header_parts) + "\n").encode()
+    raw_stm = header + b" ".join(payload_parts)
+    first = len(header)
+    data_stm = (
+        b"\x00not-a-flate-stream\xff" * 4 if corrupt else zlib.compress(raw_stm)
+    )
+    stm_body = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {first} "
+        f"/Filter /FlateDecode /Length {len(data_stm)} >>"
+    ).encode()
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: Dict[int, int] = {}
+    for num in direct:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + bodies[num]
+        out += b"\nstream\n" + streams[num] + b"\nendstream\nendobj\n"
+    offsets[stm_num] = len(out)
+    out += f"{stm_num} 0 obj\n".encode() + stm_body
+    out += b"\nstream\n" + data_stm + b"\nendstream\nendobj\n"
+
+    xref_at = len(out)
+    size = xref_num + 1
+    rows = bytearray()
+    for objnum in range(size):
+        if objnum == 0:
+            etype, f2, f3 = 0, 0, 65535
+        elif objnum in offsets:
+            etype, f2, f3 = 1, offsets[objnum], 0
+        elif objnum == xref_num:
+            etype, f2, f3 = 1, xref_at, 0
+        elif objnum in packed_idx:
+            etype, f2, f3 = 2, stm_num, packed_idx[objnum]
+        else:
+            etype, f2, f3 = 0, 0, 0
+        rows += etype.to_bytes(1, "big") + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    rowlen = 1 + 4 + 2
+    xdata = zlib.compress(_png_up_predict(bytes(rows), rowlen))
+    out += f"{xref_num} 0 obj\n".encode()
+    out += (
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
+        f"/Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns {rowlen} >> "
+        f"/Length {len(xdata)} >>"
+    ).encode()
+    out += b"\nstream\n" + xdata + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)

