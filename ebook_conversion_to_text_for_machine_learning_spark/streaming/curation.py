@@ -1,16 +1,37 @@
 """Streaming curation: span files in → incremental training sequences out.
 
 Engine extension (the reference is batch-only). Each micro-batch runs the
-SAME ``prepare_training_sequences`` chain as the batch CLI, with
-``seen_hashes`` pointed at the already-landed output table — so a
-document that arrived (or was duplicated) in any earlier micro-batch is
-anti-joined away before it can re-emit sequences. This is the unbounded
-complement to ``streaming.dedup.streaming_exact_dedup``: the watermark
-variant bounds state but only guarantees no duplicates within the late
-horizon; this variant is exact across the whole stream's history because
-its "state" is the landed table itself. The per-batch anti-join reads
-only the ``text_hash`` column (parquet column pruning keeps it narrow),
-and at lake scale both sides bucket by ``text_hash``.
+SAME ``prepare_training_sequences`` chain as the batch CLI, anti-joined
+against a **seen-hash sidecar** — a parquet table holding one
+``text_hash`` per text the stream has ever emitted — so a document that
+arrived (or was duplicated) in any earlier micro-batch never re-emits
+sequences. This is the unbounded complement to
+``streaming.dedup.streaming_exact_dedup``: the watermark variant bounds
+state but only guarantees no duplicates within the late horizon; this
+variant is exact across the whole stream's history.
+
+Why a sidecar instead of anti-joining the landed output table (the
+round-2 design): the output table grows with every chunk of every
+sequence, so the per-batch anti-join scan was O(full history) even with
+column pruning. The sidecar holds one narrow row per DISTINCT text and is
+periodically squashed by ``compact_seen_sidecar`` into a single
+``batch_id=-1`` partition, so the per-batch read cost is bounded by the
+number of distinct texts — and stays a handful of compacted files.
+
+Crash-consistency (foreachBatch is at-least-once):
+
+- the output write and the sidecar write both target their own
+  ``batch_id=N`` partition dir with overwrite, so a replayed batch
+  rewrites the same files instead of appending duplicates;
+- the seen set for batch N reads ``batch_id != N``, so a replay never
+  sees its own failed attempt's partial sidecar rows;
+- compaction first lands the distinct union into ``batch_id=-1`` and
+  only THEN deletes the superseded partitions — a crash at any point
+  leaves hashes present (possibly twice, which the left-anti join
+  ignores), never absent.
+
+The sidecar lives next to the output (``<output>_seen`` by default):
+the two tables are a unit — delete both or neither.
 
 ``foreachBatch`` keeps one code path for batch and streaming (see
 ``streaming.stream`` for the rationale).
@@ -18,7 +39,8 @@ and at lake scale both sides bucket by ``text_hash``.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ebook_conversion_to_text_for_machine_learning_spark.operators.extract import (
@@ -28,6 +50,76 @@ from ebook_conversion_to_text_for_machine_learning_spark.plans.training_prep imp
     DEFAULT_MIN_QUALITY,
     prepare_training_sequences,
 )
+
+#: Partition id compaction squashes into — below any real micro-batch id,
+#: so the "exclude my own batch" replay filter can never exclude it.
+COMPACTED_BATCH_ID = -1
+
+
+def default_seen_dir(output_dir: str) -> str:
+    return output_dir.rstrip("/") + "_seen"
+
+
+def _read_seen(
+    spark: SparkSession, seen_dir: str, exclude_batch_id: int
+) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        seen = spark.read.parquet(seen_dir)
+    except AnalysisException as ex:
+        # Only the "nothing landed yet" states may proceed without a
+        # seen set: a missing path, or an existing dir with no committed
+        # data files (e.g. only _temporary/ from a killed batch-0 write →
+        # UNABLE_TO_INFER_SCHEMA) — neither can hold duplicates. Any
+        # OTHER read failure (transient store error, corrupt footer)
+        # must fail the batch so the stream retries — swallowing it
+        # would silently append duplicates.
+        if (
+            "PATH_NOT_FOUND" not in str(ex)
+            and "UNABLE_TO_INFER_SCHEMA" not in str(ex)
+        ):
+            raise
+        return None
+    return seen.where(F.col("batch_id") != exclude_batch_id).select("text_hash")
+
+
+def compact_seen_sidecar(spark: SparkSession, seen_dir: str) -> int:
+    """Squash the sidecar's per-batch partitions into ``batch_id=-1``.
+
+    Returns the number of distinct hashes after compaction (0 when there
+    is nothing to compact). Safe to run between micro-batches of a live
+    stream and idempotent: the distinct union lands in the compacted
+    partition BEFORE the superseded partitions are deleted, so a crash
+    anywhere leaves every hash readable (duplicate hashes across
+    partitions are harmless to the left-anti join).
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        seen = spark.read.parquet(seen_dir)
+    except AnalysisException:
+        return 0
+    old = [
+        int(r.batch_id)
+        for r in seen.select("batch_id").distinct().collect()
+        if int(r.batch_id) != COMPACTED_BATCH_ID
+    ]
+    if not old:
+        return 0
+    # Materialize BEFORE overwriting a partition of the table being read
+    # (writing a path a live plan scans both races the scan and drops
+    # caches via refreshByPath — see plans/pipeline.py).
+    compacted = seen.select("text_hash").distinct().localCheckpoint()
+    compacted.write.mode("overwrite").parquet(
+        f"{seen_dir}/batch_id={COMPACTED_BATCH_ID}"
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for b in old:
+        path = jvm.org.apache.hadoop.fs.Path(f"{seen_dir}/batch_id={b}")
+        path.getFileSystem(hconf).delete(path, True)
+    return compacted.count()
 
 
 def stream_curation(
@@ -41,15 +133,19 @@ def stream_curation(
     overlap: int = 16,
     max_files_per_trigger: int = 16,
     available_now: bool = False,
+    seen_dir: str | None = None,
 ) -> StreamingQuery:
     """Start a file-source streaming curation job.
 
     ``available_now=True`` drains the current backlog and stops (tests,
     backfills); otherwise the query keeps consuming newly landed span
     files. Output rows are the training-sequence table of
-    ``prepare_training_sequences``; each distinct surviving text emits
-    its chunks exactly once across the stream's lifetime.
+    ``prepare_training_sequences`` partitioned by ``batch_id``; each
+    distinct surviving text emits its chunks exactly once across the
+    stream's lifetime, enforced by the seen-hash sidecar at
+    ``seen_dir`` (default ``<output>_seen``).
     """
+    sidecar = seen_dir or default_seen_dir(output_dir)
     source = (
         spark.readStream.schema(INPUT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -57,35 +153,20 @@ def stream_curation(
     )
 
     def _process(batch_df, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         session = batch_df.sparkSession
-        try:
-            seen = session.read.parquet(output_dir).select("text_hash")
-        except AnalysisException as ex:
-            # Only the "nothing landed yet" states may proceed without a
-            # seen set: a missing path, or an existing dir with no
-            # committed data files (e.g. only _temporary/ from a killed
-            # batch-0 write → UNABLE_TO_INFER_SCHEMA) — neither can hold
-            # duplicates. Any OTHER read failure (transient store error,
-            # corrupt footer) must fail the batch so the stream retries —
-            # swallowing it would silently append duplicates.
-            if (
-                "PATH_NOT_FOUND" not in str(ex)
-                and "UNABLE_TO_INFER_SCHEMA" not in str(ex)
-            ):
-                raise
-            seen = None
-        (
-            prepare_training_sequences(
-                batch_df,
-                min_quality=min_quality,
-                chunk_tokens=chunk_tokens,
-                overlap=overlap,
-                seen_hashes=seen,
-            )
-            .write.mode("append")
-            .parquet(output_dir)
+        seen = _read_seen(session, sidecar, exclude_batch_id=batch_id)
+        result = prepare_training_sequences(
+            batch_df,
+            min_quality=min_quality,
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+            seen_hashes=seen,
+        ).localCheckpoint()  # one computation feeding two partition writes
+        result.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+        result.select("text_hash").distinct().write.mode("overwrite").parquet(
+            f"{sidecar}/batch_id={batch_id}"
         )
 
     writer = source.writeStream.foreachBatch(_process).option(

@@ -199,3 +199,79 @@ def test_stream_curation_cross_batch_incremental_dedup(spark, tmp_path):
     )
     query2.awaitTermination(180)
     assert spark.read.parquet(str(tmp_path / "out")).count() == len(rows)
+
+
+def test_stream_curation_seen_source_is_sidecar_and_survives_compaction(
+    spark, tmp_path
+):
+    """The seen set must come from the compacted hash sidecar, not from a
+    rescan of the full landed output (round-2 verdict item 6). Proof: after
+    draining batch 1 and compacting, the OUTPUT table is deleted outright —
+    if the implementation still consulted it, the duplicate in batch 2
+    would re-emit. The sidecar alone must keep the dedup exact, and
+    compaction must leave exactly one batch_id=-1 partition."""
+    import os
+
+    from ebook_conversion_to_text_for_machine_learning_spark.streaming.curation import (
+        COMPACTED_BATCH_ID,
+        compact_seen_sidecar,
+        default_seen_dir,
+        stream_curation,
+    )
+
+    good_a = (
+        "The quick brown fox jumps over the lazy dog and the miller waits "
+        "for the grain in the old mill by the stone bridge near the river"
+    )
+    good_b = (
+        "A copper lantern hangs in the harbor window and the keeper of the "
+        "light waits for the evening boats to find the channel in the fog"
+    )
+
+    def _doc(doc_id, text):
+        return {"doc_id": doc_id, "fmt": "txt", "title": None, "author": None,
+                "spans": [("line", text, "", 0)]}
+
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    seen_dir = default_seen_dir(out_dir)
+    spans_df(spark, [_doc("a1", good_a)]).write.parquet(str(in_dir / "f1"))
+
+    query = stream_curation(
+        spark, f"{in_dir}/*", out_dir, str(tmp_path / "ckpt"),
+        chunk_tokens=16, overlap=0, available_now=True,
+    )
+    query.awaitTermination(180)
+    first = spark.read.parquet(out_dir).collect()
+    assert len(first) > 0 and all(r.batch_id == 0 for r in first)
+
+    # compact: per-batch partitions squash into batch_id=-1, old ones go
+    n = compact_seen_sidecar(spark, seen_dir)
+    assert n == 1  # one distinct text so far
+    parts = sorted(
+        d for d in os.listdir(seen_dir) if d.startswith("batch_id=")
+    )
+    assert parts == [f"batch_id={COMPACTED_BATCH_ID}"]
+    # idempotent: nothing left to compact
+    assert compact_seen_sidecar(spark, seen_dir) == 0
+
+    # delete the OUTPUT table — the sidecar must carry the dedup alone
+    import shutil
+
+    shutil.rmtree(out_dir)
+
+    spans_df(spark, [_doc("a2", good_a), _doc("b1", good_b)]).write.parquet(
+        str(in_dir / "f2")
+    )
+    query2 = stream_curation(
+        spark, f"{in_dir}/*", out_dir, str(tmp_path / "ckpt"),
+        chunk_tokens=16, overlap=0, available_now=True,
+    )
+    query2.awaitTermination(180)
+
+    out = spark.read.parquet(out_dir).collect()
+    # only the NEW text emitted; the a-duplicate was anti-joined away by
+    # the compacted sidecar even with the landed output gone
+    hashes = {r.text_hash for r in out}
+    assert len(hashes) == 1
+    assert {r.text_hash for r in first}.isdisjoint(hashes)
