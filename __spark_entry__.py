@@ -894,6 +894,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_topk"] = ivf_ann_topk
 
+    def _build_ann_index(spark, sf_dir):
+        # Persisted-index round trip: write bands/cells/codebook/meta to a
+        # scratch dir, read them back, query through the index tables.
+        # Results must be IDENTICAL to the live twins (same oracle SQL).
+        import tempfile
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="ann_index_")
+        S.write_ann_index(
+            emb, EMBED_DIM, path,
+            n_bands=_ND_BANDS, band_planes=_ND_BAND_PLANES,
+            target_cells=_IVF_TEST_CELLS,
+        )
+        return emb, S.read_ann_index(spark, path)
+
+    def lsh_ann_topk_indexed(spark, sf_dir):
+        emb, idx = _build_ann_index(spark, sf_dir)
+        probes = emb.where(F.col("vec_id") < 10)
+        out = S.lsh_ann_topk_indexed(idx, probes, k=5)
+        return out.select("probe_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+    q["lsh_ann_topk_indexed"] = lsh_ann_topk_indexed
+
+    def ivf_ann_topk_indexed(spark, sf_dir):
+        emb, idx = _build_ann_index(spark, sf_dir)
+        probes = emb.where(F.col("vec_id") < 10)
+        out = S.ivf_ann_topk_indexed(idx, probes, k=5)
+        return out.select("probe_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+    q["ivf_ann_topk_indexed"] = ivf_ann_topk_indexed
+
     def embedding_near_dup(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
         # 0.25 / 8-plane bands are tuned to the synthetic corpus (no true
@@ -1760,6 +1791,11 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, item_id) AS rnk
   FROM pairs)
 SELECT probe_id, item_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
+
+    # Persisted-index round trips must reproduce the live paths exactly —
+    # same oracles, proving the parquet round trip changes nothing.
+    o["lsh_ann_topk_indexed"] = o["lsh_ann_topk"]
+    o["ivf_ann_topk_indexed"] = o["ivf_ann_topk"]
 
     o["embedding_near_dup"] = f"""
 WITH banded AS ({_sql_banded_bucket_selects("embeddings")}),

@@ -454,12 +454,24 @@ def ivf_ann_topk(
                 )
             ).alias("probe_cell"),
         )
+    return _ivf_topk_from_cells(c, probe_cells, k)
+
+
+def _ivf_topk_from_cells(
+    cell_tagged: DataFrame, probe_cells: DataFrame, k: int
+) -> DataFrame:
+    """Shared IVF scoring tail: broadcast (probe × nprobe) cell rows
+    against the cell-tagged corpus, exact cosine, per-probe rank.
+    ``cell_tagged`` carries (item_id, item_vec, cell_id) — freshly
+    assigned or read back from a persisted index."""
+    from pyspark.sql.window import Window
+
     cosine = F.round(
         _dot(F.col("probe_vec"), F.col("item_vec"))
         / (_norm(F.col("probe_vec")) * _norm(F.col("item_vec"))),
         4,
     )
-    scored = c.join(
+    scored = cell_tagged.join(
         F.broadcast(probe_cells),
         (F.col("cell_id") == F.col("probe_cell")) & (F.col("probe_id") != F.col("item_id")),
     ).select("probe_id", "item_id", cosine.alias("cosine"))
@@ -527,6 +539,45 @@ def embedding_near_dup(
     )
 
 
+def _lsh_topk_from_bands(
+    c_bands: DataFrame,
+    items: DataFrame,
+    p_bands: DataFrame,
+    probe_vecs: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Shared LSH scoring tail: band-collision candidates → exact cosine
+    → per-probe rank. ``c_bands``/``items`` may be freshly computed or
+    read back from a persisted index — the plan is identical."""
+    from pyspark.sql.window import Window
+
+    candidates = (
+        c_bands.join(
+            F.broadcast(p_bands),
+            ["band_id", "bucket"],
+        )
+        .where(F.col("probe_id") != F.col("item_id"))
+        .select("probe_id", "item_id")
+        .distinct()
+    )
+    cosine = F.round(
+        _dot(F.col("probe_vec"), F.col("item_vec"))
+        / (_norm(F.col("probe_vec")) * _norm(F.col("item_vec"))),
+        4,
+    )
+    scored = (
+        candidates.join(items, "item_id")
+        .join(F.broadcast(probe_vecs), "probe_id")
+        .select("probe_id", "item_id", cosine.alias("cosine"))
+    )
+    window = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "item_id", "cosine", "rank")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -548,9 +599,9 @@ def lsh_ann_topk(
     lake scale). The probe side is broadcast; the corpus side is touched
     once to band and once to fetch candidate vectors by id. Signatures
     default to the Arrow matmul path (``"expr"`` = oracle fold-order twin).
+    For repeated probe workloads persist the banding once with
+    ``write_ann_index`` and query through ``lsh_ann_topk_indexed``.
     """
-    from pyspark.sql.window import Window
-
     sig_fn = (
         lsh_banded_signatures_arrow if signature_path == "arrow" else lsh_banded_signatures
     )
@@ -560,32 +611,169 @@ def lsh_ann_topk(
     p_bands = sig_fn(
         probes, dim, vec_col=vec_col, id_col=id_col, n_bands=n_bands, band_planes=band_planes
     ).select(F.col("vec_id").alias("probe_id"), "band_id", "bucket")
-    candidates = (
-        c_bands.join(
-            F.broadcast(p_bands),
-            ["band_id", "bucket"],
-        )
-        .where(F.col("probe_id") != F.col("item_id"))
-        .select("probe_id", "item_id")
-        .distinct()
-    )
     items = corpus.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"))
     probe_vecs = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
-    cosine = F.round(
-        _dot(F.col("probe_vec"), F.col("item_vec"))
-        / (_norm(F.col("probe_vec")) * _norm(F.col("item_vec"))),
-        4,
+    return _lsh_topk_from_bands(c_bands, items, p_bands, probe_vecs, k)
+
+
+# -- persisted ANN index -----------------------------------------------------
+#
+# Signatures and cell assignments are pure functions of the corpus, but
+# recomputing them per probe batch re-scans (and for LSH re-matmuls) the
+# whole corpus. ``write_ann_index`` lands them once as parquet tables;
+# ``*_topk_indexed`` then answer repeated probe workloads touching only
+# the index tables — the scale difference between "re-band 10^12 vectors
+# per query batch" and "join against a prebuilt bucket table".
+
+
+class AnnIndex:
+    """Handle to a persisted ANN index (see ``write_ann_index``)."""
+
+    def __init__(
+        self,
+        bands: DataFrame,
+        cells: DataFrame,
+        centroids: list,
+        dim: int,
+        n_bands: int,
+        band_planes: int,
+    ) -> None:
+        self.bands = bands  # (item_id, band_id, bucket)
+        self.cells = cells  # (item_id, item_vec, cell_id)
+        self.centroids = centroids
+        self.dim = dim
+        self.n_bands = n_bands
+        self.band_planes = band_planes
+
+
+def write_ann_index(
+    corpus: DataFrame,
+    dim: int,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = N_BANDS,
+    band_planes: int = BAND_PLANES,
+    target_cells: int = IVF_TARGET_CELLS,
+    stride: int | None = None,
+    signature_path: str = "arrow",
+) -> None:
+    """Persist the reusable halves of both ANN structures:
+
+    - ``bands``   — banded LSH signatures (item_id, band_id, bucket)
+    - ``cells``   — IVF cell assignment carrying the vector
+      (item_id, item_vec, cell_id), which doubles as the id→vector
+      fetch table for LSH candidate verification
+    - ``codebook``— the IVF centroid sample
+    - ``meta``    — one row of the knobs the index was built with, so a
+      reader cannot accidentally band probes with mismatched planes
+
+    Everything is written ``overwrite`` so a rebuild is idempotent.
+    """
+    sig_fn = (
+        lsh_banded_signatures_arrow if signature_path == "arrow" else lsh_banded_signatures
     )
-    scored = (
-        candidates.join(items, "item_id")
-        .join(F.broadcast(probe_vecs), "probe_id")
-        .select("probe_id", "item_id", cosine.alias("cosine"))
+    sig_fn(
+        corpus, dim, vec_col=vec_col, id_col=id_col,
+        n_bands=n_bands, band_planes=band_planes,
+    ).withColumnRenamed("vec_id", "item_id").write.mode("overwrite").parquet(
+        f"{path}/bands"
     )
-    window = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("item_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(window))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "item_id", "cosine", "rank")
+    centroids = ivf_centroids(
+        corpus, target_cells=target_cells, stride=stride,
+        vec_col=vec_col, id_col=id_col,
     )
+    ivf_assign_arrow(
+        corpus, centroids, vec_col=vec_col, id_col=id_col, keep_vec=True
+    ).select(
+        F.col("vec_id").alias("item_id"),
+        F.col(vec_col).alias("item_vec"),
+        "cell_id",
+    ).write.mode("overwrite").parquet(f"{path}/cells")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "cid long, cvec array<float>"
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    spark.createDataFrame(
+        [(dim, n_bands, band_planes)], "dim int, n_bands int, band_planes int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_ann_index(spark, path: str) -> AnnIndex:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    centroids = sorted(
+        (int(r.cid), [float(x) for x in r.cvec])
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    )
+    return AnnIndex(
+        bands=spark.read.parquet(f"{path}/bands"),
+        cells=spark.read.parquet(f"{path}/cells"),
+        centroids=centroids,
+        dim=int(meta.dim),
+        n_bands=int(meta.n_bands),
+        band_planes=int(meta.band_planes),
+    )
+
+
+def lsh_ann_topk_indexed(
+    index: AnnIndex,
+    probes: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    signature_path: str = "arrow",
+) -> DataFrame:
+    """``lsh_ann_topk`` against a persisted index: only the (small) probe
+    side is banded; the corpus-side signatures and vectors come from the
+    index tables. Identical results to the live path by construction —
+    the scoring tail is the same function."""
+    sig_fn = (
+        lsh_banded_signatures_arrow if signature_path == "arrow" else lsh_banded_signatures
+    )
+    p_bands = sig_fn(
+        probes, index.dim, vec_col=vec_col, id_col=id_col,
+        n_bands=index.n_bands, band_planes=index.band_planes,
+    ).select(F.col("vec_id").alias("probe_id"), "band_id", "bucket")
+    probe_vecs = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    items = index.cells.select("item_id", "item_vec")
+    return _lsh_topk_from_bands(index.bands, items, p_bands, probe_vecs, k)
+
+
+def ivf_ann_topk_indexed(
+    index: AnnIndex,
+    probes: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_path: str = "arrow",
+) -> DataFrame:
+    """``ivf_ann_topk`` against a persisted index: cell assignment comes
+    from the index; only probe→cell ranking runs per query batch
+    (``probe_path="expr"`` is the literal-expression twin — small
+    codebooks only)."""
+    if probe_path == "arrow":
+        probe_cells = ivf_probe_cells_arrow(
+            probes, index.centroids, nprobe=nprobe, vec_col=vec_col, id_col=id_col
+        )
+    else:
+        probe_cells = probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        _cell_ranking(F.col(vec_col), index.centroids), 1, nprobe
+                    ),
+                    lambda s: s["centroid_id"],
+                )
+            ).alias("probe_cell"),
+        )
+    return _ivf_topk_from_cells(index.cells, probe_cells, k)
