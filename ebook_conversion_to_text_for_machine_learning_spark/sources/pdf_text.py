@@ -17,10 +17,13 @@ machine-generated ebook case with nothing but ``re`` + ``zlib``:
   to the live object version, and any ObjStm unreachable through a
   parseable xref is blind-parsed as a fill-in (damaged-file robustness,
   same spirit as the direct object scan);
-- uncompressed and FlateDecode content streams, with ``/DecodeParms``
-  PNG/TIFF predictors un-applied;
+- uncompressed, FlateDecode, LZWDecode, ASCIIHexDecode, ASCII85Decode
+  and RunLengthDecode streams, with ``/DecodeParms`` PNG/TIFF
+  predictors un-applied after the decompressing filters;
 - text via BT/ET blocks: ``Tj``/``TJ``/``'``/``"`` show-text operators,
-  line advances from ``Td``/``TD``/``T*``/``Tm``/``'``;
+  line advances from ``Td``/``TD``/``T*``/``Tm``/``'``; inline images
+  (``BI``/``ID``/``EI``) are skipped wholesale so their binary payloads
+  never tokenize as text;
 - per-font byte→text decoding selected by ``Tf``: simple ``/ToUnicode``
   CMaps (bfchar/bfrange, 1- and 2-byte codespaces), base encodings
   (``/WinAnsiEncoding`` → cp1252, ``/MacRomanEncoding``), and
@@ -194,6 +197,91 @@ def _parse_hex_string(data: bytes, i: int):
     if len(hexdigits) % 2:
         hexdigits += b"0"
     return bytes.fromhex(hexdigits.decode("ascii")), end + 1
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end != -1:
+        data = data[:end]
+    hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", data)
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    data = re.sub(rb"\s", b"", data)
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    if data.startswith(b"<~"):
+        data = data[2:]
+    try:
+        return base64.a85decode(data, adobe=False)
+    except ValueError as e:
+        raise ValueError(f"ASCII85Decode failed: {e}") from e
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:  # EOD
+            break
+        if length < 128:
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            out += data[i : i + 1] * (257 - length)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF/TIFF LZW: variable 9-12 bit codes, 256=clear, 257=EOD.
+
+    ``early_change`` (DecodeParms /EarlyChange, default 1) widens the
+    code size one code EARLY — the spec default and what every producer
+    emits."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: Optional[bytes] = None
+    width = 9
+    buf = 0
+    nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (buf >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError(f"LZW: bad first code {code}")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW: code {code} beyond table")
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - early_change and width < 12:
+                width += 1
+    return bytes(out)
 
 
 def _unpredict(data: bytes, predictor: int, columns: int, colors: int = 1,
@@ -467,26 +555,40 @@ class _PdfFile:
         for fi, f in enumerate(filters):
             if f is None:
                 continue
-            if str(f) == "FlateDecode":
+            p = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
+            if isinstance(p, tuple):
+                p = p[0]
+            if not isinstance(p, dict):
+                p = {}
+            name = str(f)
+            if name == "FlateDecode":
                 try:
                     out = zlib.decompress(out)
                 except zlib.error as e:  # corrupt stream → parse error
                     raise ValueError(f"FlateDecode failed: {e}") from e
-                p = self.resolve(parms_list[fi]) if fi < len(parms_list) else None
-                if isinstance(p, tuple):
-                    p = p[0]
-                if isinstance(p, dict):
-                    predictor = self.resolve(p.get("Predictor")) or 1
-                    if isinstance(predictor, (int, float)) and predictor > 1:
-                        out = _unpredict(
-                            out,
-                            int(predictor),
-                            int(self.resolve(p.get("Columns")) or 1),
-                            int(self.resolve(p.get("Colors")) or 1),
-                            int(self.resolve(p.get("BitsPerComponent")) or 8),
-                        )
+            elif name == "LZWDecode":
+                early = self.resolve(p.get("EarlyChange"))
+                out = _lzw_decode(
+                    out, int(early) if isinstance(early, (int, float)) else 1
+                )
+            elif name == "ASCIIHexDecode":
+                out = _ascii_hex_decode(out)
+            elif name == "ASCII85Decode":
+                out = _ascii85_decode(out)
+            elif name == "RunLengthDecode":
+                out = _run_length_decode(out)
             else:  # unsupported filter (DCT etc.) — not a text stream
                 return b""
+            if name in ("FlateDecode", "LZWDecode"):
+                predictor = self.resolve(p.get("Predictor")) or 1
+                if isinstance(predictor, (int, float)) and predictor > 1:
+                    out = _unpredict(
+                        out,
+                        int(predictor),
+                        int(self.resolve(p.get("Columns")) or 1),
+                        int(self.resolve(p.get("Colors")) or 1),
+                        int(self.resolve(p.get("BitsPerComponent")) or 8),
+                    )
         return out
 
     # -- page tree ---------------------------------------------------------
@@ -769,6 +871,27 @@ def _content_tokens(content: bytes):
             yield ("num", float(t) if b"." in t else int(t))
             i = m.end()
         else:
+            if m.group(0) == b"BI":
+                # Inline image: skip the parameter dict and the binary
+                # payload through the EI terminator — raw pixel bytes
+                # would otherwise tokenize as garbage text operators.
+                # EI must be whitespace-delimited to avoid matching pixel
+                # bytes that happen to spell "EI".
+                j = content.find(b"ID", m.end())
+                k = (j + 3) if j != -1 else m.end()
+                while True:
+                    k = content.find(b"EI", k)
+                    if k == -1:
+                        i = n
+                        break
+                    before_ok = k == 0 or content[k - 1] in _WHITESPACE
+                    nxt = content[k + 2 : k + 3]
+                    after_ok = nxt == b"" or nxt[0] in _WHITESPACE or nxt[0] in _DELIMS
+                    if before_ok and after_ok:
+                        i = k + 2
+                        break
+                    k += 2
+                continue
             yield ("op", m.group(0).decode("latin-1"))
             i = m.end()
 

@@ -52,6 +52,91 @@ def _escape_bytes(raw: bytes) -> bytes:
     )
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """Forward PDF LZW (9-12 bit variable codes, EarlyChange=1) — the
+    encoder twin of sources/pdf_text._lzw_decode, used only to build
+    fixtures that exercise the decoder."""
+    table: Dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    buf = 0
+    nbits = 0
+    res = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            res.append((buf >> nbits) & 0xFF)
+
+    def maybe_widen() -> None:
+        # The decoder's table lags the encoder's by one entry at any
+        # stream position (it reconstructs entry k on read k+1), so with
+        # EarlyChange=1 the decoder widens at len == 2^w - 1 and the
+        # encoder must widen at next_code == 2^w to stay bit-aligned.
+        # At the 12-bit ceiling the table is full: emit a clear code and
+        # restart, as real producers do.
+        nonlocal width, next_code, table
+        if next_code >= (1 << 12) - 1:
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        elif next_code >= (1 << width) and width < 12:
+            width += 1
+
+    emit(256)  # clear-table
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        maybe_widen()
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+        next_code += 1  # decoder appends an entry for this emit too
+        maybe_widen()
+    emit(257)  # EOD
+    if nbits:
+        res.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(res)
+
+
+def _run_length_encode(data: bytes) -> bytes:
+    """Literal-runs-only RunLengthDecode payload (valid, if uncompressed)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def encode_stream(content: bytes, filt: str) -> bytes:
+    """Encode ``content`` for a given PDF /Filter name (fixtures only)."""
+    import base64
+
+    if filt == "FlateDecode":
+        return zlib.compress(content)
+    if filt == "LZWDecode":
+        return _lzw_encode(content)
+    if filt == "ASCIIHexDecode":
+        return content.hex().encode("ascii") + b">"
+    if filt == "ASCII85Decode":
+        return base64.a85encode(content, adobe=False) + b"~>"
+    if filt == "RunLengthDecode":
+        return _run_length_encode(content)
+    raise ValueError(f"unsupported fixture filter {filt}")
+
+
 def _is_text(item: PageItem) -> bool:
     return isinstance(item, str) or (
         isinstance(item, tuple) and bool(item) and item[0] == "rawtext"
@@ -88,6 +173,17 @@ def _page_content(items: Sequence[PageItem], image_names: List[str]) -> bytes:
                 ops.append(b"(" + line + b") Tj")
                 first = False
             ops.append(b"ET")
+        elif items[idx][0] == "inline_img":
+            # BI/ID/EI inline image whose binary payload is arbitrary —
+            # including bytes that spell text operators. The extractor
+            # must skip it wholesale.
+            payload = items[idx][1]
+            ops.append(
+                b"BI /W %d /H 1 /BPC 8 /CS /G ID " % max(1, len(payload))
+                + payload
+                + b" EI"
+            )
+            idx += 1
         else:
             name = next(img_iter)
             ops.append(b"q 100 0 0 100 72 %d cm /" % y + name.encode() + b" Do Q")
@@ -103,6 +199,7 @@ def build_pdf(
     objstm: bool = False,
     corrupt_objstm: bool = False,
     font_spec: Optional[dict] = None,
+    content_filter: Optional[str] = None,
 ) -> Tuple[bytes, List[List[int]]]:
     """Serialize a PDF; returns ``(pdf_bytes, image_object_ids_per_page)``.
 
@@ -179,11 +276,12 @@ def build_pdf(
         ).encode()
 
         content = _page_content(items, names)
-        if compress:
-            data = zlib.compress(content)
+        filt = content_filter or ("FlateDecode" if compress else None)
+        if filt:
+            data = encode_stream(content, filt)
             streams[content_nums[pi]] = data
             bodies[content_nums[pi]] = (
-                f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+                f"<< /Length {len(data)} /Filter /{filt} >>".encode()
             )
         else:
             streams[content_nums[pi]] = content

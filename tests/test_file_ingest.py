@@ -378,6 +378,49 @@ def test_differences_encoding_maps_glyph_names(tmp_path):
     assert line == "“Hi” †uni2020ﬁ\n"
 
 
+@pytest.mark.parametrize(
+    "filt",
+    ["LZWDecode", "ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode"],
+)
+def test_pdf_content_stream_filters(tmp_path, filt):
+    """Beyond FlateDecode: LZW (pre-2000s producers), ASCIIHex/ASCII85
+    (PostScript-derived), RunLength — all must extract identically."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf(
+        _pdf_pages_to_builder_items(fx._PDF_PAGES), content_filter=filt
+    )
+    f = tmp_path / f"{filt}.pdf"
+    f.write_bytes(data)
+    spans = pdf_file_to_spans(f)
+    assert [(k, t, r) for k, t, r, _o in spans] == [
+        row for row in _flatten_pdf_pages(fx._PDF_PAGES)
+    ]
+
+
+def test_inline_image_binary_does_not_leak_into_text(tmp_path):
+    """BI/ID/EI inline-image payloads are raw bytes that can spell text
+    operators; the tokenizer must skip the whole image, including a
+    payload containing a non-delimited 'EI' decoy."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    nasty = b"\x00(FAKE) Tj BT (LEAK) Tj ET xEIy \xff\xfe"
+    data, _ = build_pdf(
+        [["Before image.", ("inline_img", nasty), "After image."]],
+    )
+    f = tmp_path / "inline.pdf"
+    f.write_bytes(data)
+    spans = pdf_file_to_spans(f)
+    assert [(k, t) for k, t, _r, _o in spans] == [
+        ("line", "Before image.\n"),
+        ("line", "After image.\n"),
+    ]
+
+
 def test_png_predictor_filters_round_trip():
     """_unpredict must reverse all five PNG row filters and the TIFF
     horizontal delta — xref streams in the wild use Up (2) but producers
