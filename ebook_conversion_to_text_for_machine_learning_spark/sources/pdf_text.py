@@ -361,11 +361,28 @@ class _PdfFile:
         #: per-font-object decoder cache (bytes -> str), built lazily
         self._font_decoders: Dict[int, object] = {}
         self._scan()
+        self._reject_encrypted()
         # objnum -> (objstm_num, index_in_stream) per the xref stream
         # chain; authoritative for which ObjStm copy of an object is live
         self._xref_in_objstm: Dict[int, Tuple[int, int]] = {}
         self._load_xref_chain()
         self._load_object_streams()
+
+    def _reject_encrypted(self) -> None:
+        """Encrypted files quarantine instead of extracting RC4/AES
+        ciphertext as mojibake. /Encrypt lives in the trailer dict
+        (classic) or the xref stream dict (1.5+); both are parsed — a
+        bare substring grep would false-positive on content."""
+        for m in re.finditer(rb"trailer\b", self.data):
+            try:
+                d, _ = _parse_value(self.data, m.end())
+            except (ValueError, IndexError):
+                continue
+            if isinstance(d, dict) and "Encrypt" in d:
+                raise ValueError("encrypted PDF (trailer /Encrypt)")
+        for _num, (body, _s) in self.objects.items():
+            if str(body.get("Type")) == "XRef" and "Encrypt" in body:
+                raise ValueError("encrypted PDF (xref stream /Encrypt)")
 
     def _scan(self) -> None:
         # Manual cursor, NOT finditer over the whole file: stream bodies

@@ -421,6 +421,28 @@ def test_inline_image_binary_does_not_leak_into_text(tmp_path):
     ]
 
 
+def test_encrypted_pdf_quarantines_not_mojibake(tmp_path):
+    """A file with /Encrypt must raise (→ quarantine) instead of
+    extracting RC4/AES ciphertext as garbage text."""
+    from ebook_conversion_to_text_for_machine_learning_spark.compat import (
+        PDFConversionError,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf([["Secret line."]])
+    data = data.replace(
+        b"trailer\n<< /Size",
+        b"trailer\n<< /Encrypt 99 0 R /Size",
+    )
+    assert b"/Encrypt" in data
+    f = tmp_path / "locked.pdf"
+    f.write_bytes(data)
+    with pytest.raises(PDFConversionError, match="encrypt"):
+        pdf_file_to_spans(f)
+
+
 def test_png_predictor_filters_round_trip():
     """_unpredict must reverse all five PNG row filters and the TIFF
     horizontal delta — xref streams in the wild use Up (2) but producers
