@@ -165,3 +165,42 @@ def test_pdf_build_parse_round_trip(pages):
             expected.append(("page_break", "", ""))
         expected.extend(("line", line + "\n", "") for line in page)
     assert rows == expected
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4000))
+def test_pdf_stream_codecs_round_trip(data):
+    """Every fixture encoder must invert through the extractor's decoder
+    on arbitrary bytes — including LZW width ladders and table clears."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        _ascii85_decode,
+        _ascii_hex_decode,
+        _lzw_decode,
+        _run_length_decode,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        encode_stream,
+    )
+
+    assert _lzw_decode(encode_stream(data, "LZWDecode")) == data
+    assert _ascii85_decode(encode_stream(data, "ASCII85Decode")) == data
+    assert _ascii_hex_decode(encode_stream(data, "ASCIIHexDecode")) == data
+    assert _run_length_decode(encode_stream(data, "RunLengthDecode")) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(pages=st.lists(_pdf_page, min_size=1, max_size=3))
+def test_pdf_objstm_parse_matches_classic(pages):
+    """The PDF 1.5 serialization (ObjStm + xref stream + PNG predictor)
+    must extract row-for-row identically to the classic-xref build of the
+    same pages."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        pdf_bytes_to_rows,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    classic, _ = build_pdf(pages, compress=True)
+    modern, _ = build_pdf(pages, objstm=True)
+    assert pdf_bytes_to_rows(modern) == pdf_bytes_to_rows(classic)
