@@ -937,6 +937,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dup"] = embedding_near_dup
 
+    def semantic_dedup(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        # SemDeDup over the IVF cells: tau=0.35 is tuned to the synthetic
+        # near-random corpus (real text embeddings run ~0.8); production
+        # path (Arrow assignment + per-cell numpy gram matrix) — the expr
+        # twin agrees, pinned by test_semantic_dedup_path_agreement.
+        return S.semantic_dedup(emb, tau=0.35, target_cells=_IVF_TEST_CELLS)
+
+    q["semantic_dedup"] = semantic_dedup
+
     # --- multimodal plumbing -------------------------------------------------
     def media_features(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
@@ -1809,6 +1819,20 @@ FROM cand c
 JOIN embeddings a ON a.vec_id = c.vec_a
 JOIN embeddings b ON b.vec_id = c.vec_b
 WHERE {_SQL_COSINE.format(p="a.embedding", c="b.embedding")} >= 0.25"""
+
+    # SemDeDup from scratch: the same stride-sampled IVF assignment CTEs,
+    # then a within-cell self-join marks every row that has a lower-id
+    # neighbor at round(cosine,4) >= tau in its own cell.
+    o["semantic_dedup"] = f"""
+WITH {ivf_assign_ctes},
+cells AS (SELECT vec_id, embedding, centroid_id AS cell_id FROM assign WHERE crnk = 1),
+dup AS (
+  SELECT DISTINCT r.vec_id
+  FROM cells l JOIN cells r ON l.cell_id = r.cell_id AND l.vec_id < r.vec_id
+  WHERE {_SQL_COSINE.format(p="l.embedding", c="r.embedding")} >= 0.35)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id, CAST(c.cell_id AS BIGINT) AS cell_id,
+       (d.vec_id IS NOT NULL) AS is_semantic_dup
+FROM cells c LEFT JOIN dup d ON d.vec_id = c.vec_id"""
 
     # Byte-exact framing: slice the hex encoding (2 chars/byte) so offsets
     # and the md5 fingerprint operate on BYTES in both engines even when

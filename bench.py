@@ -94,6 +94,7 @@ def main() -> None:
         "lsh_ann_topk",
         "ivf_ann_topk",
         "embedding_near_dup",
+        "semantic_dedup",
         "media_features",
         "frame_samples",
         "resize_media",

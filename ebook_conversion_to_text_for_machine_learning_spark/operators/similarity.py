@@ -745,6 +745,116 @@ def lsh_ann_topk_indexed(
     return _lsh_topk_from_bands(index.bands, items, p_bands, probe_vecs, k)
 
 
+#: Default SemDeDup cosine threshold. The paper (Abbas et al. 2023,
+#: arXiv:2303.09540) sweeps 0.5–0.95 on real text embeddings; synthetic
+#: near-random test corpora need a far lower cut to produce any pairs.
+SEMANTIC_TAU = 0.8
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    tau: float = SEMANTIC_TAU,
+    target_cells: int = IVF_TARGET_CELLS,
+    stride: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    path: str = "arrow",
+) -> DataFrame:
+    """SemDeDup: IVF-cluster embeddings, mark within-cell semantic dups.
+
+    The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-cluster
+    the embedding space, then compare pairs ONLY within a cluster — the
+    cross-cluster comparisons that make naive near-dup O(N²) are pruned by
+    construction. Here the clustering is the engine's IVF codebook
+    (``ivf_centroids`` — deterministic stride sample, swap in k-means in
+    production without touching this plan), and the duplicate rule is:
+    a row is a semantic duplicate iff some LOWER-ID row in its cell has
+    ``round(cosine, 4) >= tau``. Min-id witness makes the keeper set
+    deterministic and SQL-expressible (the DuckDB oracle recomputes it
+    from scratch); it is also exactly the per-cluster "keep one
+    representative" outcome when a cell's dups form one clique.
+
+    Scale shape: one narrow shuffle (hash-partition the cell-tagged
+    corpus on ``cell_id``), then a per-cell numpy gram matrix inside
+    ``applyInPandas`` — O(c² · dim) per cell where c ≈ N / target_cells
+    stays constant as both grow; this per-cluster gram matrix IS the cost
+    model the paper ran at 5B scale. Hot-cell skew (a giant cluster of
+    bit-identical vectors) should be drained with exact dedup on
+    ``md5(vector bytes)`` *before* this operator, same contract as
+    ``ngram_jaccard_pairs``'s blocking.
+
+    ``path="arrow"`` (production default) rides ``ivf_assign_arrow`` and
+    the gram matrix; ``path="expr"`` is the interpreted twin — expression
+    cell assignment plus a within-cell self-join with oracle-exact
+    sequential fold order (small codebooks only; the two paths agree on
+    the driver corpus, pinned by a path-agreement test).
+
+    Returns (vec_id, cell_id, is_semantic_dup) — one row per input row.
+    """
+    centroids = ivf_centroids(
+        corpus, target_cells=target_cells, stride=stride, vec_col=vec_col, id_col=id_col
+    )
+    if path == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        assign = ivf_assign_arrow(
+            corpus, centroids, vec_col=vec_col, id_col=id_col, keep_vec=True
+        )
+
+        def mark(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id", ignore_index=True)
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            unit = vecs / norms
+            cos = np.round(unit @ unit.T, 4)
+            # dup[i] = any strictly-lower-id row within tau: strict lower
+            # triangle of the thresholded gram matrix, any per row.
+            dup = np.tril(cos >= tau, -1).any(axis=1)
+            return pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell_id": pdf["cell_id"],
+                    "is_semantic_dup": dup,
+                }
+            )
+
+        return assign.groupBy("cell_id").applyInPandas(
+            mark, schema="vec_id long, cell_id long, is_semantic_dup boolean"
+        )
+
+    assign = ivf_assign(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    withv = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("vec")
+    ).join(assign, "vec_id")
+    left = withv.select(
+        F.col("vec_id").alias("id_l"), "cell_id", F.col("vec").alias("vec_l")
+    )
+    right = withv.select(
+        F.col("vec_id").alias("id_r"), "cell_id", F.col("vec").alias("vec_r")
+    )
+    cosine = F.round(
+        _dot(F.col("vec_l"), F.col("vec_r"))
+        / (_norm(F.col("vec_l")) * _norm(F.col("vec_r"))),
+        4,
+    )
+    dups = (
+        left.join(right, "cell_id")
+        .where(F.col("id_l") < F.col("id_r"))
+        .where(cosine >= tau)
+        .select(F.col("id_r").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return assign.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cell_id",
+        F.coalesce(F.col("dup"), F.lit(False)).alias("is_semantic_dup"),
+    )
+
+
 def ivf_ann_topk_indexed(
     index: AnnIndex,
     probes: DataFrame,

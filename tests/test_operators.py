@@ -481,6 +481,93 @@ def test_ann_recall_on_planted_neighbors(spark):
     emb.unpersist()
 
 
+def test_semantic_dedup_hand_built_exact(spark):
+    """Fully deterministic SemDeDup check: ids 0/10/20 are the stride-10
+    codebook, so group A (0,1,2 ~ e1) lands in cell 0, group B (10,11 ~ e2)
+    in cell 10, and the orthogonal singleton 20 is its own cell. Within a
+    cell the lower-id witness marks every later near-identical row."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.998, 0.0, 0.02, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.01, 0.999, 0.0, 0.0]),
+        (20, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = _emb_df(spark, rows)
+    for path in ("arrow", "expr"):
+        got = {
+            r.vec_id: (r.cell_id, r.is_semantic_dup)
+            for r in semantic_dedup(df, tau=0.99, stride=10, path=path).collect()
+        }
+        assert got == {
+            0: (0, False),
+            1: (0, True),
+            2: (0, True),
+            10: (10, False),
+            11: (10, True),
+            20: (20, False),
+        }, (path, got)
+
+
+def test_semantic_dedup_path_agreement(spark):
+    """Arrow path (per-cell numpy gram matrix) and expression twin (the
+    oracle-parity self-join) must agree row-for-row at the registry's own
+    setting (tau=0.35, 10-cell codebook, driver embeddings)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    arrow = {
+        r.vec_id: (r.cell_id, r.is_semantic_dup)
+        for r in semantic_dedup(emb, tau=0.35, target_cells=10).collect()
+    }
+    expr = {
+        r.vec_id: (r.cell_id, r.is_semantic_dup)
+        for r in semantic_dedup(emb, tau=0.35, target_cells=10, path="expr").collect()
+    }
+    assert len(arrow) == 500
+    assert arrow == expr
+
+
+def test_semantic_dedup_on_planted_neighbors(spark):
+    """On a corpus with planted near-duplicate clusters, SemDeDup keeps
+    roughly one representative per cluster: the dup fraction approaches
+    1 - n_clusters/n, every cell retains its min-id keeper, and raising
+    tau can only shrink the dup set."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.corpus import (
+        planted_embeddings,
+    )
+
+    emb = planted_embeddings(spark, 2000, 16, n_clusters=100, noise=0.15).cache()
+    out = semantic_dedup(emb, tau=0.8, target_cells=100).collect()
+    assert len(out) == 2000
+    dups = {r.vec_id for r in out if r.is_semantic_dup}
+    # ~20 members per planted cluster, one keeper each → dup rate near 95%
+    assert len(dups) >= 0.7 * 2000, len(dups)
+    keeper_min = {}
+    for r in out:
+        keeper_min.setdefault(r.cell_id, []).append((r.vec_id, r.is_semantic_dup))
+    for cell, members in keeper_min.items():
+        vid, is_dup = min(members)
+        assert not is_dup, f"min-id row {vid} of cell {cell} marked dup"
+    strict = {
+        r.vec_id
+        for r in semantic_dedup(emb, tau=0.999, target_cells=100).collect()
+        if r.is_semantic_dup
+    }
+    assert strict <= dups
+    emb.unpersist()
+
+
 def test_ann_index_round_trip_identical_topk(spark, tmp_path):
     """write_ann_index → read_ann_index must answer BOTH query families
     identically to the live (recompute-everything) paths — the persisted
