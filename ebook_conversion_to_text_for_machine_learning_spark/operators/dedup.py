@@ -391,12 +391,15 @@ def decontaminate(
     is benchmark-sized (≤ millions of grams).
 
     ``broadcast_eval=False``: the held-out-corpus shape for eval sets
-    too large to broadcast. Corpus shingles explode to narrow
-    ``(doc_id, md5(gram))`` rows, a LEFT SEMI join against the distinct
-    eval gram hashes keeps the hits (the join shuffles only 32-byte hash
-    keys, never text, and semi-join stops at first match so eval-side
-    duplicates never multiply rows), a partial-agg count per doc follows,
-    and the per-doc gram total joins back. Same output columns and same
+    too large to broadcast. Corpus shingles are computed ONCE — the
+    explode carries the per-doc gram total alongside each
+    ``(doc_id, md5(gram))`` row, so tokenization (the dominant cost at
+    the scale this path exists for) does not run a second time for a
+    separate totals subtree — then a LEFT join against the DISTINCT eval
+    gram hashes marks hits (distinct on the eval side is what keeps
+    eval-duplicate grams from multiplying rows) and one partial-agg
+    groupBy yields both the total and the hit count. The join shuffles
+    hash keys plus one long, never text. Same output columns and same
     oracle as the broadcast path — shingles are distinct per doc, so the
     hit count equals the intersection size.
 
@@ -419,24 +422,30 @@ def decontaminate(
             .alias("n_contaminated"),
         )
     else:
-        totals = corpus.select("doc_id", F.size(grams).cast("long").alias("n_grams"))
-        corpus_grams = corpus.select(
-            "doc_id", F.explode(grams).alias("_g")
-        ).select("doc_id", F.md5("_g").alias("gram_hash"))
-        eval_grams = eval_df.select(
-            F.explode(shingles_col(F.col(text_col), n)).alias("_g")
-        ).select(F.md5("_g").alias("gram_hash"))
-        hits = (
-            corpus_grams.join(eval_grams, "gram_hash", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.count("*").cast("long").alias("n_contaminated"))
-        )
-        counted = totals.join(hits, "doc_id", "left").select(
+        exploded = corpus.select(
             "doc_id",
-            "n_grams",
-            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
-                "n_contaminated"
-            ),
+            F.size(grams).cast("long").alias("n_grams"),
+            # explode_outer keeps gram-less docs as one null-gram row, so
+            # they survive to the groupBy with n_contaminated = 0
+            F.explode_outer(grams).alias("_g"),
+        ).select("doc_id", "n_grams", F.md5("_g").alias("gram_hash"))
+        eval_grams = (
+            eval_df.select(
+                F.explode(shingles_col(F.col(text_col), n)).alias("_g")
+            )
+            .select(F.md5("_g").alias("gram_hash"))
+            .distinct()
+            .withColumn("_hit", F.lit(1).cast("long"))
+        )
+        counted = (
+            exploded.join(eval_grams, "gram_hash", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.max("n_grams").alias("n_grams"),
+                F.coalesce(F.sum("_hit"), F.lit(0).cast("long")).alias(
+                    "n_contaminated"
+                ),
+            )
         )
     return counted.withColumn(
         "contaminated",

@@ -305,9 +305,12 @@ def ivf_assign_arrow(
     run as interpreted higher-order functions, which caps per-row rate.
     This path does the same (cosine DESC, centroid_id ASC) assignment as a
     dense (batch × dim) @ (dim × k) matmul — the right trade at 10^12 rows,
-    where last-ulp summation-order differences are irrelevant. Centroids
-    arrive sorted by id, so numpy argmax's first-match rule reproduces the
-    min-id tie-break.
+    where last-ulp summation-order differences are irrelevant. Cosines are
+    ROUNDED to 4 decimals before argmax, exactly as the twin and the SQL
+    oracle round: without it the parity-disagreement window per (vector,
+    cell-pair) is the full rounding quantum (~5e-5), not the ~1e-13 float
+    noise. Centroids arrive sorted by id, so numpy argmax's first-match
+    rule over the rounded scores reproduces the min-id tie-break.
     """
     from typing import Iterator
 
@@ -330,7 +333,7 @@ def ivf_assign_arrow(
             vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0
-            best = np.argmax((vecs / norms) @ mat.T, axis=1)
+            best = np.argmax(np.round((vecs / norms) @ mat.T, 4), axis=1)
             out = {"vec_id": batch[id_col].astype("int64"), "cell_id": ids[best]}
             if keep_vec:
                 out[vec_col] = batch[vec_col]
@@ -422,8 +425,6 @@ def ivf_ann_topk(
     shuffled and each item is scored at most once per probe (an item
     lives in exactly one cell).
     """
-    from pyspark.sql.window import Window
-
     centroids = ivf_centroids(
         corpus, target_cells=target_cells, stride=stride, vec_col=vec_col, id_col=id_col
     )

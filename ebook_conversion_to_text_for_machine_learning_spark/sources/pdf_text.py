@@ -446,6 +446,12 @@ class _PdfFile:
         if m is not None:
             offset = int(m.group(1))
         seen_sections: set = set()
+        # every objnum with ANY entry already recorded by a NEWER section
+        # (walk order is newest-first): a type-1 (direct) or type-0 (free)
+        # entry in an update must shadow an older section's type-2 entry,
+        # otherwise a superseded ObjStm copy would overwrite the live
+        # directly-scanned object in _load_object_streams.
+        seen_objs: set = set()
         while offset is not None and offset not in seen_sections:
             seen_sections.add(offset)
             num = starts_to_num.get(offset)
@@ -474,9 +480,12 @@ class _PdfFile:
                             pos += w
                         # a zero-width first field defaults to type 1
                         etype = 1 if fields[0] is None else fields[0]
-                        if etype == 2 and objnum not in self._xref_in_objstm:
+                        if objnum in seen_objs:
+                            continue
+                        seen_objs.add(objnum)
+                        if etype == 2:
                             self._xref_in_objstm[objnum] = (fields[1], fields[2] or 0)
-            except (TypeError, ValueError, KeyError):
+            except (TypeError, ValueError, KeyError, IndexError):
                 return
             prev = body.get("Prev")
             offset = int(prev) if isinstance(prev, (int, float)) else None

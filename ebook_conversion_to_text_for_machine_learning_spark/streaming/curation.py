@@ -84,6 +84,69 @@ def _read_seen(
     return seen.where(F.col("batch_id") != exclude_batch_id).select("text_hash")
 
 
+def _migrate_legacy_output(
+    spark: SparkSession, output_dir: str, seen_dir: str
+) -> None:
+    """One-time upgrade from the round-2 layout (flat part-files under
+    ``output_dir``; the seen set WAS the landed output) to this layout.
+    Without it, a legacy stream restarting on this code finds no sidecar,
+    reads an EMPTY seen set, and re-emits its whole history — and its new
+    ``batch_id=N`` subdirs landing next to the old flat files break
+    ``spark.read.parquet(output_dir)`` with conflicting directory
+    structures.
+
+    Crash-ordered steps, each state resumable:
+
+    1. rename flat ``part-*`` files into ``batch_id=-1/`` (pure FS moves,
+       re-entrant — a crash mid-move leaves a detectable flat remainder
+       that the next start finishes moving);
+    2. seed the sidecar's ``batch_id=-1`` partition with the distinct
+       ``text_hash`` set of the MIGRATED partition only. Reading just
+       ``batch_id=-1`` (real micro-batches are numbered >= 0) keeps the
+       normal crash window safe: a first-ever batch 0 that died between
+       its output write and its sidecar write must NOT have its hashes
+       seeded here, or the replay would anti-join its own rows away and
+       overwrite the landed partition with nothing.
+
+    No-op for fresh streams (no output yet) and migrated ones (sidecar
+    present). Migrated rows read back with ``batch_id = -1``."""
+    from pyspark.errors import AnalysisException
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    out_path = jvm.org.apache.hadoop.fs.Path(output_dir)
+    fs = out_path.getFileSystem(hconf)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(seen_dir)):
+        return
+    if not fs.exists(out_path):
+        return
+    flat = [
+        st.getPath()
+        for st in fs.listStatus(out_path)
+        if st.isFile() and st.getPath().getName().startswith("part-")
+    ]
+    migrated = f"{output_dir.rstrip('/')}/batch_id={COMPACTED_BATCH_ID}"
+    if flat:
+        dest = jvm.org.apache.hadoop.fs.Path(migrated)
+        fs.mkdirs(dest)
+        for p in flat:
+            fs.rename(p, jvm.org.apache.hadoop.fs.Path(dest, p.getName()))
+    try:
+        landed = spark.read.parquet(migrated).select("text_hash").distinct()
+        landed.write.mode("overwrite").parquet(
+            f"{seen_dir}/batch_id={COMPACTED_BATCH_ID}"
+        )
+    except AnalysisException as ex:
+        # no migrated partition → nothing legacy to seed; anything else
+        # (corrupt footer, store error) must fail the start, not silently
+        # skip seeding and re-emit history.
+        if (
+            "PATH_NOT_FOUND" not in str(ex)
+            and "UNABLE_TO_INFER_SCHEMA" not in str(ex)
+        ):
+            raise
+
+
 def compact_seen_sidecar(spark: SparkSession, seen_dir: str) -> int:
     """Squash the sidecar's per-batch partitions into ``batch_id=-1``.
 
@@ -146,6 +209,7 @@ def stream_curation(
     ``seen_dir`` (default ``<output>_seen``).
     """
     sidecar = seen_dir or default_seen_dir(output_dir)
+    _migrate_legacy_output(spark, output_dir, sidecar)
     source = (
         spark.readStream.schema(INPUT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

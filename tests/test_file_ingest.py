@@ -300,6 +300,90 @@ def test_xref_stream_supersedes_stale_direct_object(tmp_path):
     assert rows == [("line", "Live line.\n", "")]
 
 
+def _old_xref_offset(data: bytes) -> int:
+    import re as _re
+
+    return int(_re.findall(rb"startxref\s+(\d+)", data)[-1])
+
+
+def test_incremental_update_direct_object_supersedes_objstm_copy():
+    """The OPPOSITE direction of the test above: an incremental update
+    appends a NEW direct page (+ content stream) and an xref stream whose
+    type-1 entries cover them, with /Prev to the v1 xref. Walking
+    newest-first, the update's type-1 entry must shadow the old section's
+    type-2 entry — otherwise the superseded ObjStm copy of the page
+    (still pointing at the v1 contents) silently wins."""
+    import zlib
+
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        pdf_bytes_to_rows,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf([["Old line."]], objstm=True)
+    prev = _old_xref_offset(data)
+    out = bytearray(data)
+    content = b"BT /F1 12 Tf 72 720 Td (New line.) Tj ET"
+    off8 = len(out)
+    out += (
+        f"8 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    off4 = len(out)
+    out += (
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 8 0 R >>\nendobj\n"
+    )
+    off9 = len(out)
+    rows = b"".join(
+        b"\x01" + off.to_bytes(4, "big") + b"\x00\x00"
+        for off in (off4, off8, off9)
+    )
+    xdata = zlib.compress(rows)
+    out += (
+        f"9 0 obj\n<< /Type /XRef /Size 10 /W [1 4 2] "
+        f"/Index [4 1 8 2] /Root 1 0 R /Prev {prev} "
+        f"/Filter /FlateDecode /Length {len(xdata)} >>\nstream\n".encode()
+        + xdata
+        + b"\nendstream\nendobj\n"
+        + f"startxref\n{off9}\n%%EOF\n".encode()
+    )
+    assert pdf_bytes_to_rows(bytes(out)) == [("line", "New line.\n", "")]
+
+
+def test_malformed_xref_w_array_degrades_to_blind_fill_in():
+    """A damaged update whose xref stream declares W [1 4] (no third
+    field) raises IndexError on its first type-2 entry; the chain must be
+    abandoned — never the file — so the ObjStm members still recover via
+    the blind fill-in and the v1 text extracts."""
+    import zlib
+
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        pdf_bytes_to_rows,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf([["Old line."]], objstm=True)
+    prev = _old_xref_offset(data)
+    out = bytearray(data)
+    off8 = len(out)
+    xdata = zlib.compress(b"\x02" + (6).to_bytes(4, "big"))
+    out += (
+        f"8 0 obj\n<< /Type /XRef /Size 9 /W [1 4] "
+        f"/Index [4 1] /Root 1 0 R /Prev {prev} "
+        f"/Filter /FlateDecode /Length {len(xdata)} >>\nstream\n".encode()
+        + xdata
+        + b"\nendstream\nendobj\n"
+        + f"startxref\n{off8}\n%%EOF\n".encode()
+    )
+    assert pdf_bytes_to_rows(bytes(out)) == [("line", "Old line.\n", "")]
+
+
 def test_winansi_encoding_decodes_cp1252_punctuation(tmp_path):
     """/WinAnsiEncoding: the 0x80-0x9F range is cp1252 typography, not
     Latin-1 control characters (verdict item 4)."""

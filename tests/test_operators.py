@@ -385,6 +385,35 @@ def test_ivf_assign_arrow_matches_expression_path(spark):
     assert len(disagree) <= 2, disagree
 
 
+def test_ivf_assign_arrow_rounds_before_argmax(spark):
+    """Cell assignment must rank round(cos, 4) like the expression twin
+    and the SQL oracle. Probe id 3 sits a hair closer to centroid 10 than
+    to centroid 0 (unrounded gap ~1e-8), but both cosines round to the
+    same 4-decimal value — so the min-id tie-break must pick cell 0; an
+    unrounded argmax would pick cell 10."""
+    import math
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_arrow,
+        ivf_centroids,
+    )
+
+    theta, eps = 0.01, 1e-6
+    rows = [
+        (0, [1.0, 0.0]),
+        (10, [math.cos(theta), math.sin(theta)]),
+        (3, [math.cos(theta / 2 + eps), math.sin(theta / 2 + eps)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(df, stride=10)
+    assert [c[0] for c in cents] == [0, 10]
+    fast = {r.vec_id: r.cell_id for r in ivf_assign_arrow(df, cents).collect()}
+    expr = {r.vec_id: r.cell_id for r in ivf_assign(df, cents).collect()}
+    assert fast[3] == expr[3] == 0
+    assert fast == expr
+
+
 def test_ivf_probe_cells_arrow_matches_expression_path(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
         _cell_ranking,

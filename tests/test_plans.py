@@ -214,15 +214,22 @@ def test_decontaminate_corpus_side_is_shuffle_free(spark):
     assert "Arguments: hashpartitioning" not in plan
 
 
-def test_decontaminate_join_path_is_semi_join_on_hashes(spark):
-    """broadcast_eval=False must keep the corpus side a LEFT SEMI join on
-    32-byte gram hashes — never collect/broadcast the eval grams as an
-    array (the whole point of the path), and never ship gram text through
-    the exchange."""
+def test_decontaminate_join_path_single_scan_on_hashes(spark):
+    """broadcast_eval=False must join on gram hashes — never
+    collect/broadcast the eval grams as an array (the whole point of the
+    path) and never touch Python — and must tokenize the corpus exactly
+    ONCE: the explode carries n_grams, so there is no second
+    totals-subtree scan (corpus + eval = two parquet scans total, not
+    three). Eval-side dedup happens before the join so duplicate eval
+    grams cannot inflate hit counts."""
+    import re
+
     plan = plan_of(entrymod.queries()["decontaminate_join"](spark, SF_DIR))
-    assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+    # formatted explain lists every node once in the details section as
+    # "(<n>) Scan parquet" — two scans = corpus once + eval once
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
 
 
 def test_line_dedup_keeper_is_partial_aggregate_not_window(spark):
