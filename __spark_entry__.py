@@ -886,6 +886,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_cells"] = ivf_cells
 
+    def ivf_kmeans_cells(spark, sf_dir):
+        # Two spherical-Lloyd refinement passes over the stride-sampled
+        # codebook, then the production Arrow assignment with the refined
+        # centroids. The oracle unrolls the identical two iterations in
+        # SQL (assign -> unit-mean per cell -> reassign), so this pins the
+        # whole refinement loop, not just the final argmax.
+        emb = read_table(spark, sf_dir, "embeddings")
+        cents = S.ivf_kmeans_centroids(
+            emb, iters=2, target_cells=_IVF_TEST_CELLS
+        )
+        out = S.ivf_assign_arrow(emb, cents)
+        return out.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell_id").cast("long").alias("cell_id"),
+        )
+
+    q["ivf_kmeans_cells"] = ivf_kmeans_cells
+
     def ivf_ann_topk(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
         probes = emb.where(F.col("vec_id") < 10)
@@ -1799,6 +1817,59 @@ assign AS (
 WITH {ivf_assign_ctes}
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(centroid_id AS BIGINT) AS cell_id
 FROM assign WHERE crnk = 1"""
+
+    # Unrolled spherical k-means: each iteration assigns against the
+    # previous codebook (same round-4 / min-id ranking as every IVF
+    # oracle), takes the per-cell elementwise mean of the L2-NORMALIZED
+    # members (two zip-unnests: component value + 1-based position),
+    # rounds components to 6 decimals — the same quantization the Spark
+    # side applies, which is what keeps both engines iterating from
+    # identical codebooks — and keeps the old centroid for any cell that
+    # captured no members.
+    def _km_iter(prev: str, n: int) -> str:
+        return f"""
+scored{n} AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_SQL_COSINE.format(p="e.embedding", c="c.cvec")} AS cos
+  FROM embeddings e CROSS JOIN {prev} c),
+assign{n} AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS crnk
+  FROM scored{n}),
+memb{n} AS (
+  SELECT centroid_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM assign{n} WHERE crnk = 1),
+unit{n} AS (
+  SELECT centroid_id,
+         unnest(list_transform(e, x -> x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END))) AS val,
+         unnest(range(1, {EMBED_DIM + 1})) AS pos
+  FROM memb{n}),
+mean{n} AS (
+  SELECT centroid_id, pos, round(sum(val) / count(*), 6) AS mval
+  FROM unit{n} GROUP BY 1, 2),
+cent{n} AS (
+  SELECT centroid_id, list(mval ORDER BY pos) AS cvec FROM mean{n} GROUP BY 1
+  UNION ALL
+  SELECT centroid_id, cvec::DOUBLE[] AS cvec FROM {prev}
+  WHERE centroid_id NOT IN (SELECT centroid_id FROM mean{n}))"""
+
+    o["ivf_kmeans_cells"] = f"""
+WITH cent0 AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % (SELECT greatest(1, count(*) // {_IVF_TEST_CELLS}) FROM embeddings) = 0),
+{_km_iter("cent0", 1)},
+{_km_iter("cent1", 2)},
+scoredF AS (
+  SELECT e.vec_id, c.centroid_id,
+         {_SQL_COSINE.format(p="e.embedding", c="c.cvec")} AS cos
+  FROM embeddings e CROSS JOIN cent2 c),
+assignF AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS crnk
+  FROM scoredF)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(centroid_id AS BIGINT) AS cell_id
+FROM assignF WHERE crnk = 1"""
 
     o["ivf_ann_topk"] = f"""
 WITH {ivf_assign_ctes},

@@ -93,6 +93,7 @@ def main() -> None:
         "cosine_topk",
         "lsh_ann_topk",
         "ivf_ann_topk",
+        "ivf_kmeans_cells",
         "embedding_near_dup",
         "semantic_dedup",
         "media_features",

@@ -400,6 +400,100 @@ def ivf_probe_cells_arrow(
     )
 
 
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    iters: int = 2,
+    target_cells: int = IVF_TARGET_CELLS,
+    stride: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Spherical Lloyd refinement of the stride-sampled codebook — the
+    "swap in k-means in production" that ``ivf_centroids`` advertises,
+    with the same bounded-codebook contract (same ``(cid, vec)`` list, so
+    it drops into every assignment/search path unchanged).
+
+    Each of the ``iters`` Lloyd iterations costs ONE pass over the corpus:
+    a fused Arrow stage assigns each vector to its nearest cell (the same
+    round-4 matmul ranking as ``ivf_assign_arrow``) and, in the same numpy
+    batch, accumulates per-cell sums of the UNIT vectors — so what leaves
+    each task is at most ``cells x dim`` tiny (cell, pos, partial_sum)
+    rows per batch, never the vectors themselves. A partial-agg ``groupBy``
+    reduces those to cell means (map-side combinable, skew-free: the key
+    space is the codebook) and a bounded ``cells x dim`` collect rebuilds
+    the list. No corpus shuffle, no N x dim explode, plan size constant in
+    the codebook.
+
+    Semantics pinned for oracle parity (the DuckDB twin unrolls the same
+    iterations): centroids are means of L2-normalized members (spherical
+    k-means — cosine ranking is scale-invariant, so no renormalization is
+    needed), components are rounded to 6 decimals each iteration so both
+    engines iterate from identical codebooks, and a cell that captures no
+    members keeps its previous centroid (the standard empty-cell rule;
+    also what makes the refined codebook keep exactly the initial cell
+    ids, which downstream nprobe arithmetic relies on).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = ivf_centroids(
+        corpus, target_cells=target_cells, stride=stride,
+        vec_col=vec_col, id_col=id_col,
+    )
+    dim = len(cents[0][1])
+    src = corpus.select(vec_col)
+    for _ in range(max(0, iters)):
+        ids = np.array([c[0] for c in cents], dtype=np.int64)
+        mat = np.array([c[1] for c in cents], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+        def batches(
+            it: Iterator[pd.DataFrame], _ids=ids, _mat=mat
+        ) -> Iterator[pd.DataFrame]:
+            for batch in it:
+                if not len(batch):
+                    continue
+                vecs = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+                )
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                norms[norms == 0.0] = 1.0
+                unit = vecs / norms
+                best = np.argmax(np.round(unit @ _mat.T, 4), axis=1)
+                acc = np.zeros((_ids.size, unit.shape[1]))
+                np.add.at(acc, best, unit)
+                cnt = np.bincount(best, minlength=_ids.size)
+                nz = np.flatnonzero(cnt)
+                yield pd.DataFrame(
+                    {
+                        "cell_id": np.repeat(_ids[nz], dim),
+                        "pos": np.tile(np.arange(dim, dtype=np.int32), nz.size),
+                        "psum": acc[nz].ravel(),
+                        "pcnt": np.repeat(cnt[nz], dim).astype("int64"),
+                    }
+                )
+
+        means = (
+            src.mapInPandas(
+                batches, schema="cell_id long, pos int, psum double, pcnt long"
+            )
+            .groupBy("cell_id", "pos")
+            .agg(F.round(F.sum("psum") / F.sum("pcnt"), 6).alias("mval"))
+            .collect()
+        )
+        bycell: dict = {}
+        for r in means:
+            bycell.setdefault(int(r.cell_id), {})[int(r.pos)] = float(r.mval)
+        cents = [
+            (cid, [bycell[cid][p] for p in range(dim)] if cid in bycell else old)
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -411,8 +505,13 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     assign_path: str = "arrow",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine over the probe's ``nprobe`` cells.
+
+    ``kmeans_iters > 0`` refines the stride-sampled codebook with that
+    many spherical-Lloyd passes (``ivf_kmeans_centroids``) before any
+    assignment — tighter cells, same plan shape downstream.
 
     Plan shape at scale: corpus→cell assignment AND probe→cell ranking are
     one numpy matmul per Arrow batch (``assign_path="arrow"``, the
@@ -425,9 +524,16 @@ def ivf_ann_topk(
     shuffled and each item is scored at most once per probe (an item
     lives in exactly one cell).
     """
-    centroids = ivf_centroids(
-        corpus, target_cells=target_cells, stride=stride, vec_col=vec_col, id_col=id_col
-    )
+    if kmeans_iters > 0:
+        centroids = ivf_kmeans_centroids(
+            corpus, iters=kmeans_iters, target_cells=target_cells,
+            stride=stride, vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        centroids = ivf_centroids(
+            corpus, target_cells=target_cells, stride=stride,
+            vec_col=vec_col, id_col=id_col,
+        )
     if assign_path == "arrow":
         c = ivf_assign_arrow(
             corpus, centroids, vec_col=vec_col, id_col=id_col, keep_vec=True
@@ -761,6 +867,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     path: str = "arrow",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup: IVF-cluster embeddings, mark within-cell semantic dups.
 
@@ -792,10 +899,19 @@ def semantic_dedup(
     the driver corpus, pinned by a path-agreement test).
 
     Returns (vec_id, cell_id, is_semantic_dup) — one row per input row.
+    ``kmeans_iters > 0`` refines the codebook first (the paper's actual
+    k-means clustering) via ``ivf_kmeans_centroids``.
     """
-    centroids = ivf_centroids(
-        corpus, target_cells=target_cells, stride=stride, vec_col=vec_col, id_col=id_col
-    )
+    if kmeans_iters > 0:
+        centroids = ivf_kmeans_centroids(
+            corpus, iters=kmeans_iters, target_cells=target_cells,
+            stride=stride, vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        centroids = ivf_centroids(
+            corpus, target_cells=target_cells, stride=stride,
+            vec_col=vec_col, id_col=id_col,
+        )
     if path == "arrow":
         import numpy as np
         import pandas as pd

@@ -414,6 +414,84 @@ def test_ivf_assign_arrow_rounds_before_argmax(spark):
     assert fast == expr
 
 
+def test_ivf_kmeans_recovers_planted_clusters(spark):
+    """Spherical-Lloyd refinement must turn a bad stride-sampled codebook
+    into the planted cluster structure: on a 4-cluster planted corpus the
+    stride init lands on arbitrary members (assignment purity ~0.5);
+    after 3 iterations every refined centroid sits on a true center
+    (cos > 0.99) and the cell partition IS the planted partition."""
+    import collections
+
+    import numpy as np
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        ivf_assign_arrow,
+        ivf_centroids,
+        ivf_kmeans_centroids,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.corpus import (
+        planted_embeddings,
+    )
+
+    df = planted_embeddings(spark, 400, 16, n_clusters=4, noise=0.3).cache()
+    # the true centers, re-derived exactly as the fixture derives them
+    centers = np.random.default_rng(7).standard_normal((4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def center_cos(cents):
+        mat = np.array([c[1] for c in cents], dtype=float)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return (mat @ centers.T).max(axis=1)
+
+    def purity(cents):
+        a = ivf_assign_arrow(df, cents).toPandas()
+        hit = 0
+        for _, grp in a.groupby("cell_id"):
+            cnt = collections.Counter(
+                (int(i) * 0x9E3779B1) % 4 for i in grp.vec_id
+            )
+            hit += cnt.most_common(1)[0][1]
+        return hit / len(a)
+
+    init = ivf_centroids(df, target_cells=4)
+    refined = ivf_kmeans_centroids(df, iters=3, target_cells=4)
+    df.unpersist()
+    # cell ids survive refinement (downstream nprobe relies on this)
+    assert [c[0] for c in refined] == [c[0] for c in init]
+    assert purity(init) < 0.7
+    assert (center_cos(refined) > 0.99).all()
+    assert purity(refined) == 1.0
+
+
+def test_ivf_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """A cell that captures no members (its seed ties with a lower-id
+    cell at round-4 cosine, so min-id wins every member) must keep its
+    previous centroid verbatim — never vanish from the codebook, never
+    collapse to NaN from a 0/0 mean."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        ivf_kmeans_centroids,
+    )
+
+    rows = [
+        (i, [1.0, 0.0, 0.0, 0.0]) for i in (0, 1, 2, 4, 5)
+    ] + [
+        # seed of cell 3: cos to [1,0,0,0] is 1 - 5e-9, rounds to 1.0 —
+        # every e1 vector (itself included) ties and goes to cell 0
+        (3, [1.0, 1e-4, 0.0, 0.0]),
+        (6, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    refined = ivf_kmeans_centroids(df, iters=2, stride=3)
+    cents = dict(refined)
+    assert sorted(cents) == [0, 3, 6]
+    # empty cell 3 retained its original (unrounded) seed vector
+    assert cents[3] == [1.0, 1e-4, 0.0, 0.0]
+    # cell 0 is the rounded unit-mean of all six e1-ish members
+    assert cents[0][0] == 1.0 and abs(cents[0][1] - 0.000017) < 1e-9
+    # singleton cell 6 is its own unit mean
+    assert cents[6] == [0.0, 0.0, 1.0, 0.0]
+
+
 def test_ivf_probe_cells_arrow_matches_expression_path(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
         _cell_ranking,
