@@ -391,15 +391,16 @@ def decontaminate(
     is benchmark-sized (≤ millions of grams).
 
     ``broadcast_eval=False``: the held-out-corpus shape for eval sets
-    too large to broadcast. Corpus shingles are computed ONCE — the
-    explode carries the per-doc gram total alongside each
-    ``(doc_id, md5(gram))`` row, so tokenization (the dominant cost at
-    the scale this path exists for) does not run a second time for a
-    separate totals subtree — then a LEFT join against the DISTINCT eval
-    gram hashes marks hits (distinct on the eval side is what keeps
-    eval-duplicate grams from multiplying rows) and one partial-agg
-    groupBy yields both the total and the hit count. The join shuffles
-    hash keys plus one long, never text. Same output columns and same
+    too large to broadcast. Corpus shingles are computed ONCE — each doc
+    explodes to narrow ``(doc_id, md5(gram))`` rows and the per-doc gram
+    total is recovered by counting those rows in the final aggregate, so
+    tokenization (the dominant cost at the scale this path exists for)
+    runs exactly once and no separate totals subtree re-scans the corpus
+    — then a LEFT join against the DISTINCT eval gram hashes marks hits
+    (distinct on the eval side is what keeps eval-duplicate grams from
+    multiplying rows) and one partial-agg groupBy yields both the total
+    and the hit count. The join shuffles hash keys, never text. Same
+    output columns and same
     oracle as the broadcast path — shingles are distinct per doc, so the
     hit count equals the intersection size.
 
@@ -422,13 +423,18 @@ def decontaminate(
             .alias("n_contaminated"),
         )
     else:
+        # n_grams is recovered by COUNTING the exploded rows, never by
+        # F.size(grams) next to the explode: a size() projected alongside
+        # a Generate lands in the post-Generate Project, where Catalyst
+        # re-inlines the whole shingle expression and recomputes it per
+        # exploded row — O(grams²) per doc (measured 231s vs 7s at
+        # sf0.1). Shingles are distinct per doc, so row count == size;
+        # explode_outer keeps gram-less docs as one null-gram row whose
+        # md5 is null — count() skips it (n_grams = 0) and a null join
+        # key matches nothing (n_contaminated = 0).
         exploded = corpus.select(
-            "doc_id",
-            F.size(grams).cast("long").alias("n_grams"),
-            # explode_outer keeps gram-less docs as one null-gram row, so
-            # they survive to the groupBy with n_contaminated = 0
-            F.explode_outer(grams).alias("_g"),
-        ).select("doc_id", "n_grams", F.md5("_g").alias("gram_hash"))
+            "doc_id", F.explode_outer(grams).alias("_g")
+        ).select("doc_id", F.md5("_g").alias("gram_hash"))
         eval_grams = (
             eval_df.select(
                 F.explode(shingles_col(F.col(text_col), n)).alias("_g")
@@ -441,7 +447,7 @@ def decontaminate(
             exploded.join(eval_grams, "gram_hash", "left")
             .groupBy("doc_id")
             .agg(
-                F.max("n_grams").alias("n_grams"),
+                F.count("gram_hash").cast("long").alias("n_grams"),
                 F.coalesce(F.sum("_hit"), F.lit(0).cast("long")).alias(
                     "n_contaminated"
                 ),

@@ -230,6 +230,15 @@ def test_decontaminate_join_path_single_scan_on_hashes(spark):
     # formatted explain lists every node once in the details section as
     # "(<n>) Scan parquet" — two scans = corpus once + eval once
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    # n_grams must be recovered by COUNTING exploded rows, never by a
+    # size(<shingles>) projected next to the explode: Catalyst re-inlines
+    # the full shingle expression into the post-Generate Project and
+    # recomputes it per exploded row — O(grams²) per doc (measured 231s
+    # vs 11s at sf0.1). The shingle builder itself uses size() INSIDE the
+    # Generate (its >= 3 guard), so pin the recompute's signature — a
+    # size() over the materialized CASE expression cast to the n_grams
+    # column — rather than size() anywhere.
+    assert "size(CASE WHEN" not in plan
 
 
 def test_line_dedup_keeper_is_partial_aggregate_not_window(spark):
