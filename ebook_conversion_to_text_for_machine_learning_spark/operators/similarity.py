@@ -61,6 +61,42 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _centroid_matrix(centroids: list):
+    """(ids, unit-row matrix) for the numpy assignment kernel.
+
+    The single source of truth for preparing a codebook: ids in ascending
+    order (``ivf_centroids`` guarantees it — numpy first-match rules then
+    reproduce the min-id tie-break) and rows L2-normalized with a
+    zero-norm guard. Without the guard a degenerate centroid (zero seed
+    vector, or a refined mean whose components all round to zero) turns
+    into a NaN row, and ``np.argmax`` over NaN scores assigns EVERY
+    vector to that cell — silently collapsing the codebook. Guarded, a
+    zero-norm centroid scores cosine 0 to everything and only wins where
+    nothing else is positive. (The SQL oracle twins have no such guard —
+    they assume the non-degenerate codebooks the stride sampler produces
+    from real embedding tables.)
+    """
+    import numpy as np
+
+    ids = np.array([c[0] for c in centroids], dtype=np.int64)
+    mat = np.array([c[1] for c in centroids], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms
+
+
+def _unit_rows(values) -> "object":
+    """Stack an Arrow batch's vector column into unit rows (zero-norm
+    rows pass through as zeros — cosine 0 to everything, same rule as
+    ``_centroid_matrix``)."""
+    import numpy as np
+
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in values])
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return vecs / norms
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -317,9 +353,7 @@ def ivf_assign_arrow(
     import numpy as np
     import pandas as pd
 
-    ids = np.array([c[0] for c in centroids], dtype=np.int64)
-    mat = np.array([c[1] for c in centroids], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids, mat = _centroid_matrix(centroids)
 
     vec_type = dict(corpus.dtypes)[vec_col]
     schema = "vec_id long, cell_id long"
@@ -330,10 +364,7 @@ def ivf_assign_arrow(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in it:
-            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            best = np.argmax(np.round((vecs / norms) @ mat.T, 4), axis=1)
+            best = np.argmax(np.round(_unit_rows(batch[vec_col]) @ mat.T, 4), axis=1)
             out = {"vec_id": batch[id_col].astype("int64"), "cell_id": ids[best]}
             if keep_vec:
                 out[vec_col] = batch[vec_col]
@@ -368,9 +399,7 @@ def ivf_probe_cells_arrow(
     import numpy as np
     import pandas as pd
 
-    ids = np.array([c[0] for c in centroids], dtype=np.int64)
-    mat = np.array([c[1] for c in centroids], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids, mat = _centroid_matrix(centroids)
     n_take = min(nprobe, len(ids))
 
     vec_type = dict(probes.dtypes)[vec_col]
@@ -378,10 +407,7 @@ def ivf_probe_cells_arrow(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in it:
-            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            cos = np.round((vecs / norms) @ mat.T, 4)  # (n, cells)
+            cos = np.round(_unit_rows(batch[vec_col]) @ mat.T, 4)  # (n, cells)
             # Stable sort on -cos: ties fall back to column order == id order.
             top = np.argsort(-cos, axis=1, kind="stable")[:, :n_take]
             n = len(batch)
@@ -446,9 +472,7 @@ def ivf_kmeans_centroids(
     dim = len(cents[0][1])
     src = corpus.select(vec_col)
     for _ in range(max(0, iters)):
-        ids = np.array([c[0] for c in cents], dtype=np.int64)
-        mat = np.array([c[1] for c in cents], dtype=np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ids, mat = _centroid_matrix(cents)
 
         def batches(
             it: Iterator[pd.DataFrame], _ids=ids, _mat=mat
@@ -456,12 +480,7 @@ def ivf_kmeans_centroids(
             for batch in it:
                 if not len(batch):
                     continue
-                vecs = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
-                )
-                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-                norms[norms == 0.0] = 1.0
-                unit = vecs / norms
+                unit = _unit_rows(batch[vec_col])
                 best = np.argmax(np.round(unit @ _mat.T, 4), axis=1)
                 acc = np.zeros((_ids.size, unit.shape[1]))
                 np.add.at(acc, best, unit)
@@ -524,16 +543,11 @@ def ivf_ann_topk(
     shuffled and each item is scored at most once per probe (an item
     lives in exactly one cell).
     """
-    if kmeans_iters > 0:
-        centroids = ivf_kmeans_centroids(
-            corpus, iters=kmeans_iters, target_cells=target_cells,
-            stride=stride, vec_col=vec_col, id_col=id_col,
-        )
-    else:
-        centroids = ivf_centroids(
-            corpus, target_cells=target_cells, stride=stride,
-            vec_col=vec_col, id_col=id_col,
-        )
+    # iters=0 runs no Lloyd pass and returns the stride codebook as-is
+    centroids = ivf_kmeans_centroids(
+        corpus, iters=kmeans_iters, target_cells=target_cells,
+        stride=stride, vec_col=vec_col, id_col=id_col,
+    )
     if assign_path == "arrow":
         c = ivf_assign_arrow(
             corpus, centroids, vec_col=vec_col, id_col=id_col, keep_vec=True
@@ -900,18 +914,13 @@ def semantic_dedup(
 
     Returns (vec_id, cell_id, is_semantic_dup) — one row per input row.
     ``kmeans_iters > 0`` refines the codebook first (the paper's actual
-    k-means clustering) via ``ivf_kmeans_centroids``.
+    k-means clustering) via ``ivf_kmeans_centroids``; ``0`` (default)
+    keeps the stride codebook.
     """
-    if kmeans_iters > 0:
-        centroids = ivf_kmeans_centroids(
-            corpus, iters=kmeans_iters, target_cells=target_cells,
-            stride=stride, vec_col=vec_col, id_col=id_col,
-        )
-    else:
-        centroids = ivf_centroids(
-            corpus, target_cells=target_cells, stride=stride,
-            vec_col=vec_col, id_col=id_col,
-        )
+    centroids = ivf_kmeans_centroids(
+        corpus, iters=kmeans_iters, target_cells=target_cells,
+        stride=stride, vec_col=vec_col, id_col=id_col,
+    )
     if path == "arrow":
         import numpy as np
         import pandas as pd

@@ -492,6 +492,38 @@ def test_ivf_kmeans_empty_cell_keeps_previous_centroid(spark):
     assert cents[6] == [0.0, 0.0, 1.0, 0.0]
 
 
+def test_ivf_zero_norm_centroid_does_not_poison_assignment(spark):
+    """A zero seed vector that lands in the stride sample must not turn
+    into a NaN centroid row — np.argmax over NaN scores would assign the
+    ENTIRE corpus to the degenerate cell. Guarded, a zero-norm centroid
+    scores cosine 0 to everything: vectors with a positive match
+    elsewhere ignore it, and only the zero vector itself (cos 0
+    everywhere, min-id tie-break) falls in."""
+    import math
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        ivf_assign_arrow,
+        ivf_centroids,
+        ivf_kmeans_centroids,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),     # zero vector — becomes centroid of cell 0
+        (1, [-1.0, 0.0]),    # cos -1 to cell 2, cos 0 to cell 0 -> cell 0
+        (2, [1.0, 0.0]),     # centroid of cell 2
+        (3, [0.9, 0.1]),     # clear cell-2 member
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(df, stride=2)
+    assert [c[0] for c in cents] == [0, 2] and cents[0][1] == [0.0, 0.0]
+    got = {r.vec_id: r.cell_id for r in ivf_assign_arrow(df, cents).collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2}
+    # refinement over the degenerate codebook stays NaN-free
+    refined = ivf_kmeans_centroids(df, iters=2, stride=2)
+    assert [c[0] for c in refined] == [0, 2]
+    assert all(math.isfinite(x) for _, vec in refined for x in vec)
+
+
 def test_ivf_probe_cells_arrow_matches_expression_path(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
         _cell_ranking,
