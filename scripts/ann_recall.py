@@ -17,7 +17,10 @@ Two corpora:
    documented knobs: IVF recall@5 ≥ 0.9 at nprobe=8/√N cells, LSH
    recall@5 ≥ 0.9 at 8 bands × 8 planes (both measured well above —
    0.98 / 1.0 — and pinned by tests/test_operators.py's
-   ``test_ann_recall_on_planted_neighbors``).
+   ``test_ann_recall_on_planted_neighbors``). The k-means sweep shows
+   what codebook refinement buys at EQUAL scan cost: recall@5 at
+   nprobe=1 goes 0.86 (stride codebook) → 1.0 (2 Lloyd passes) on the
+   20k planted corpus — also pinned by the same test.
 """
 
 from __future__ import annotations
@@ -119,6 +122,21 @@ def main() -> None:
         )
         print(
             f"planted ivf nprobe={nprobe:<3} recall@5={r:<6} "
+            f"{time.time() - t0:.1f}s"
+        )
+    # k-means-refined codebook: tighter cells should dominate the stride
+    # codebook at equal nprobe (the dial that matters at scale — recall
+    # per cell scanned, not recall per knob twist)
+    for nprobe in (1, 2, 4):
+        t0 = time.time()
+        r = precall(
+            S.ivf_ann_topk(
+                planted, pprobes, nprobe=nprobe, target_cells=pcells,
+                kmeans_iters=2,
+            )
+        )
+        print(
+            f"planted ivf+kmeans2 nprobe={nprobe:<3} recall@5={r:<6} "
             f"{time.time() - t0:.1f}s"
         )
     for n_bands, planes in ((4, 16), (8, 8), (16, 8)):

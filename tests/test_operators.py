@@ -616,6 +616,16 @@ def test_ann_recall_on_planted_neighbors(spark):
     high = recall(ivf_ann_topk(emb, probes, k=5, nprobe=8, target_cells=100))
     assert high >= 0.9, high
     assert high >= low  # more cells scanned can only help
+    # a k-means-refined codebook must not lose recall at equal nprobe —
+    # tighter cells raise recall-per-cell-scanned (measured at sf0.01
+    # scale: 0.86 -> 1.0 at nprobe=1; scripts/ann_recall.py)
+    refined = recall(
+        ivf_ann_topk(
+            emb, probes, k=5, nprobe=1, target_cells=100, kmeans_iters=2
+        )
+    )
+    assert refined >= low, (refined, low)
+    assert refined >= 0.9, refined
     assert recall(lsh_ann_topk(emb, probes, 16, k=5, n_bands=8, band_planes=8)) >= 0.9
     emb.unpersist()
 
