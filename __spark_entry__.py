@@ -567,6 +567,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprints"] = fingerprints
 
+    def tfidf_top_terms(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        return T.tfidf_top_terms(docs, k=5)
+
+    q["tfidf_top_terms"] = tfidf_top_terms
+
     def document_features(spark, sf_dir):
         from ebook_conversion_to_text_for_machine_learning_spark.operators.features import (
             document_features as _feat,
@@ -813,6 +819,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["minhash_verified_dedup"] = minhash_verified_dedup
+
+    _minhash_index_cache: set = set()
+
+    def dedup_against_index(spark, sf_dir):
+        # Incremental-corpus shape: docs with doc_id % 3 != 0 are the
+        # landed corpus (persisted as a minhash index at a deterministic
+        # overwrite-idempotent path, built once per sf_dir); the % 3 == 0
+        # docs arrive as the new batch and dedup against the index only.
+        import hashlib
+        import os
+        import tempfile
+
+        docs = read_table(spark, sf_dir, "documents")
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(tempfile.gettempdir(), f"minhash_index_{tag}")
+        if path not in _minhash_index_cache:
+            D.write_minhash_index(docs.where(F.col("doc_id") % 3 != 0), path)
+            _minhash_index_cache.add(path)
+        batch = docs.where(F.col("doc_id") % 3 == 0)
+        return D.dedup_against_index(spark, batch, path)
+
+    q["dedup_against_index"] = dedup_against_index
 
     def simhash_signatures(spark, sf_dir):
         return D.simhash_signatures(read_table(spark, sf_dir, "documents"))
@@ -1455,6 +1483,29 @@ FROM b"""
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fingerprint
 FROM documents"""
 
+    # Smoothed tf-idf, scikit-style: score = tf * (ln((N+1)/(df+1)) + 1).
+    # Both engines quantize to x10k BIGINT BEFORE ranking, so the
+    # row_number windows order identical integers (term ASC tie-break).
+    o["tfidf_top_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS.format(col="text")}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(floor(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.doc_freq + 1)) + 1)
+                    * 10000 + 0.5) AS BIGINT) AS score_x10k
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_x10k DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, score_x10k, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5"""
+
     from ebook_conversion_to_text_for_machine_learning_spark.operators import (
         curation as C,
     )
@@ -1685,6 +1736,31 @@ verified AS (
   JOIN grams_t ga ON ga.doc_id = c.doc_a
   JOIN grams_t gb ON gb.doc_id = c.doc_b)
 SELECT * FROM verified WHERE 2 * n_common >= n_union"""
+
+    # Index-vs-batch twin of minhash_verified_dedup: same hash family,
+    # same acceptance rule, but candidates pair the % 3 == 0 batch
+    # against the % 3 != 0 indexed corpus instead of self-joining. The
+    # oracle recomputes both sides straight from the documents table —
+    # the Spark path goes through the parquet index round trip, so
+    # agreement proves persistence changes nothing. n_union > 0 mirrors
+    # the Spark side's inner join through the gram tables (a gram-less
+    # doc has no gram rows and never reports).
+    o["dedup_against_index"] = f"""
+WITH {_sql_minhash_sig_cte()},
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_id, i.doc_id AS dup_of
+  FROM bands b JOIN bands i
+    ON b.band_id = i.band_id AND b.bucket = i.bucket
+  WHERE b.doc_id % 3 = 0 AND i.doc_id % 3 != 0),
+verified AS (
+  SELECT c.doc_id, c.dup_of,
+    CAST(len(list_intersect(gb.grams, gi.grams)) AS BIGINT) AS n_common,
+    CAST(len(gb.grams) + len(gi.grams) - len(list_intersect(gb.grams, gi.grams)) AS BIGINT) AS n_union
+  FROM cand c
+  JOIN grams_t gb ON gb.doc_id = c.doc_id
+  JOIN grams_t gi ON gi.doc_id = c.dup_of)
+SELECT * FROM verified WHERE 2 * n_common >= n_union AND n_union > 0"""
 
     o["ngram_jaccard"] = f"""
 WITH t AS (SELECT doc_id, lang, list_distinct({tokens}) AS grams FROM documents)

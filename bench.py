@@ -70,6 +70,7 @@ def main() -> None:
         "minhash_signatures",
         "minhash_candidates",
         "minhash_verified_dedup",
+        "dedup_against_index",
         "simhash_signatures",
         "simhash_near_pairs",
         "dedup_components",
@@ -90,6 +91,7 @@ def main() -> None:
         "decontaminate_join",
         "language_id",
         "fingerprints",
+        "tfidf_top_terms",
         "cosine_topk",
         "lsh_ann_topk",
         "ivf_ann_topk",

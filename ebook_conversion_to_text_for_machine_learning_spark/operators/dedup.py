@@ -199,6 +199,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def write_minhash_index(df: DataFrame, path: str, *, text_col: str = "text") -> None:
+    """Persist a corpus's near-dup index for INCREMENTAL dedup.
+
+    Two narrow parquet tables under ``path``: ``bands/`` — the LSH band
+    table ``(doc_id, band_id, bucket)`` that generates candidates — and
+    ``grams/`` — ``(doc_id, gram_hash)`` rows (md5 of each distinct
+    3-gram shingle) that verify them with exact Jaccard. Storing hashes
+    instead of gram arrays keeps the index a fraction of corpus size and
+    lets the verify run as a partial-agg hash join, never re-reading the
+    indexed corpus's text. Overwrite-idempotent, so rebuilding after a
+    corpus append is a plain re-run.
+    """
+    base = path.rstrip("/")
+    sigs = minhash_signatures(df, text_col)
+    minhash_bands(sigs).write.mode("overwrite").parquet(f"{base}/bands")
+    (
+        df.select(
+            "doc_id", F.explode(shingles_col(F.col(text_col))).alias("_g")
+        )
+        .select("doc_id", F.md5("_g").alias("gram_hash"))
+        .write.mode("overwrite")
+        .parquet(f"{base}/grams")
+    )
+
+
+def dedup_against_index(
+    spark, batch: DataFrame, path: str, *, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup flag a NEW batch against a ``write_minhash_index`` corpus.
+
+    The incremental-curation shape: the landed corpus is touched only
+    through its index tables, so dedup cost scales with the batch, not
+    the corpus. Batch docs band with the same hash family as the index
+    (``minhash_signatures``/``minhash_bands``); a band-bucket join — the
+    same narrow-key shuffle as ``minhash_candidate_pairs``, with the
+    index side replacing the self-join — yields (batch doc, indexed doc)
+    candidates, and exact Jaccard verifies them by joining the batch's
+    gram hashes against the index's ``grams/`` rows on
+    ``(dup_of, gram_hash)`` and counting matches (shingles are distinct
+    per doc, so match count == intersection size; n_union derives from
+    the two per-doc gram counts). Same acceptance rule as
+    ``minhash_verified_dedup``: ``2 * n_common >= n_union`` (J >= 0.5).
+
+    Returns (doc_id, dup_of, n_common, n_union) — one row per verified
+    (batch, indexed) pair; batch docs with no row are novel.
+    """
+    base = path.rstrip("/")
+    idx_bands = spark.read.parquet(f"{base}/bands")
+    idx_grams = spark.read.parquet(f"{base}/grams")
+
+    b_bands = minhash_bands(minhash_signatures(batch, text_col))
+    cands = (
+        b_bands.alias("b")
+        .join(
+            idx_bands.alias("i"),
+            (F.col("b.band_id") == F.col("i.band_id"))
+            & (F.col("b.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("i.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    b_grams = batch.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("_g")
+    ).select("doc_id", F.md5("_g").alias("gram_hash"))
+    n_batch = b_grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("_nb")
+    )
+    n_idx = idx_grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("_ni")
+    )
+    common = (
+        cands.join(b_grams, "doc_id")
+        .join(
+            idx_grams.withColumnRenamed("doc_id", "dup_of"),
+            ["dup_of", "gram_hash"],
+        )
+        .groupBy("doc_id", "dup_of")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        common.join(n_batch, "doc_id")
+        .join(n_idx.withColumnRenamed("doc_id", "dup_of"), "dup_of")
+        .select(
+            "doc_id",
+            "dup_of",
+            "n_common",
+            (F.col("_nb") + F.col("_ni") - F.col("n_common")).alias("n_union"),
+        )
+        .where(F.lit(2) * F.col("n_common") >= F.col("n_union"))
+    )
+
+
 def simhash_vote(hx: Column, j: int) -> Column:
     """±1 vote for signature bit ``j`` from md5-hex column ``hx``.
 

@@ -135,6 +135,62 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
 
+def tfidf_top_terms(
+    df: DataFrame, *, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed tf-idf.
+
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` — the scikit-learn
+    smoothing, so idf is never zero or negative and single-document
+    corpora still rank. Scale shape: one token explode feeds a
+    ``(doc_id, term)`` partial-count aggregate (narrow rows); document
+    frequency is a second partial aggregate keyed on the term and joins
+    back on that narrow key (the vocabulary is orders of magnitude
+    smaller than the corpus, and the heavy-head terms that would skew
+    the join are exactly the ones idf ranks to the bottom); corpus N
+    arrives via a broadcast one-row cross join; the final top-k is a
+    per-document window whose partitions are bounded by a document's
+    distinct-term count, never corpus-wide. Scores are quantized to x10k
+    BIGINT BEFORE ranking so this and the SQL oracle rank identical
+    integers (ties break on term ASC).
+
+    Returns (doc_id, term, tf, score_x10k, rank), rank 1..k.
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("_doc_freq")
+    )
+    n_docs = df.select(F.countDistinct("doc_id").alias("_n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_x10k",
+            F.floor(
+                F.col("tf")
+                * (F.log((F.col("_n_docs") + 1) / (F.col("_doc_freq") + 1)) + 1)
+                * 10000
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_x10k").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score_x10k", "rank")
+    )
+
+
 def ngrams_col(text: Column, n: int) -> Column:
     """Word n-grams WITH repeats (unlike ``dedup.shingles_col``, which is
     distinct) — repetition measurement needs the multiplicities."""

@@ -41,6 +41,80 @@ def test_minhash_finds_near_duplicates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_dedup_against_index_round_trip(spark, tmp_path):
+    """Incremental dedup: near-dups of INDEXED docs are flagged with the
+    exact-Jaccard counts, novel batch docs report nothing, and the whole
+    check runs off the persisted index tables (the corpus text itself is
+    never re-read — asserted on the plan's scan locations)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    far = "completely different words compose this other document about ships at sea"
+    corpus = _docs_df(spark, [(1, "en", BASE), (2, "en", far)])
+    path = str(tmp_path / "idx")
+    write_minhash_index(corpus, path)
+
+    near = BASE.replace("lazy", "sleepy")
+    novel = "a copper lantern hangs alone in the harbor window tonight waiting quietly"
+    batch = _docs_df(spark, [(10, "en", near), (11, "en", novel)])
+    out = dedup_against_index(spark, batch, path)
+    rows = {(r.doc_id, r.dup_of): (r.n_common, r.n_union) for r in out.collect()}
+    assert set(rows) == {(10, 1)}
+    n_common, n_union = rows[(10, 1)]
+    # one token edit in a 24-token doc: 22 shingles each, 3 windows differ
+    assert n_union > n_common > 0 and 2 * n_common >= n_union
+    # the corpus text is reached only through the index parquet: every
+    # file feeding the plan lives under the index dir (the batch is an
+    # in-memory frame with no files)
+    files = out.inputFiles()
+    assert files and all(str(tmp_path / "idx") in f for f in files)
+
+    # rebuilding over an appended corpus is a plain overwrite re-run
+    write_minhash_index(
+        corpus.union(_docs_df(spark, [(3, "en", novel)])), path
+    )
+    rows2 = {
+        (r.doc_id, r.dup_of)
+        for r in dedup_against_index(spark, batch, path).collect()
+    }
+    assert rows2 == {(10, 1), (11, 3)}
+
+
+def test_tfidf_top_terms_ranks_rare_over_common(spark):
+    """The discriminative term must outrank the ubiquitous one: 'zebra'
+    (tf=2, df=1 → 2·(ln(2)+1) ≈ 3.39) beats 'the' (tf=3, df=3 → idf
+    exactly 1, score 3.0) in doc 1. Ranks are contiguous from 1, scores
+    non-increasing with rank, ties break on term ASC."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
+        tfidf_top_terms,
+    )
+
+    df = _docs_df(
+        spark,
+        [
+            (1, "en", "the zebra eats and the zebra sleeps by the river"),
+            (2, "en", "the miller waits by the river for grain"),
+            (3, "en", "the harbor boats wait for the evening fog"),
+        ],
+    )
+    out = tfidf_top_terms(df, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.score_x10k))
+    assert set(by_doc) == {1, 2, 3}
+    for doc, terms in by_doc.items():
+        terms.sort()
+        assert [t[0] for t in terms] == [1, 2, 3]
+        # scores non-increasing with rank
+        assert all(a[2] >= b[2] for a, b in zip(terms, terms[1:]))
+    doc1 = {t[1]: (t[0], t[2]) for t in by_doc[1]}
+    assert doc1["zebra"][0] == 1 and doc1["the"][0] == 2
+    # pinned quantization: round(2*(ln(2)+1)*10000) -> 33863; 3*1*10000
+    assert doc1["zebra"][1] == 33863 and doc1["the"][1] == 30000
+
+
 def test_simhash_near_pairs(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
         simhash_near_pairs,
