@@ -665,6 +665,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_stats"] = corpus_stats
 
+    def source_mix_stats(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+            curation as C,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        return C.source_mix_stats(docs)
+
+    q["source_mix_stats"] = source_mix_stats
+
     # --- dedup -------------------------------------------------------------
     def exact_dedup(spark, sf_dir):
         return D.exact_dedup(read_table(spark, sf_dir, "documents"))
@@ -874,6 +884,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("probe_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
     q["cosine_topk"] = cosine_topk
+
+    def knn_label_vote(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        probes = emb.where(F.col("vec_id") < 10)
+        return S.knn_label_vote(emb, probes, k=5)
+
+    q["knn_label_vote"] = knn_label_vote
 
     def lsh_signatures(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
@@ -1635,6 +1652,33 @@ SELECT doc_id,
   CAST(coalesce(sum(CASE WHEN cnt > 1 THEN chars END), 0) AS BIGINT) AS n_dup_line_chars
 FROM pv GROUP BY doc_id"""
 
+    # Same exact-integer conventions as corpus_stats (x10k sums, floor
+    # mean) plus two INTEGER-divided rates — `//` here, `div` in Spark —
+    # so every output column is a BIGINT no float can perturb.
+    o["source_mix_stats"] = f"""
+WITH t AS (SELECT source, text, {tokens} AS toks FROM documents),
+r AS (SELECT source,
+    CAST(len(toks) AS BIGINT) AS n_toks,
+    CAST(CASE WHEN len(toks) > 0 THEN
+      floor((0.4 * least(1.0, len(toks)::DOUBLE / 50.0)
+           + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+           + 0.3 * (len(list_filter(toks, x -> list_contains({_STOPWORD_SQL_LIST}, lower(x))))::DOUBLE
+                    / len(toks)::DOUBLE)) * 10000.0 + 0.5)
+      ELSE 0.0 END AS BIGINT) AS q10k,
+    md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+  FROM t),
+a AS (SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+    CAST(floor(sum(q10k)::DOUBLE / count(*)) AS BIGINT) AS mean_quality_x10k,
+    CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+  FROM r GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM a)
+SELECT source, n_docs, n_tokens, mean_quality_x10k, n_unique,
+  CAST(((n_docs - n_unique) * 10000) // n_docs AS BIGINT) AS dup_rate_x10k,
+  CAST((n_tokens * 10000) // total_tokens AS BIGINT) AS token_share_x10k
+FROM a CROSS JOIN tot"""
+
     o["corpus_stats"] = f"""
 WITH t AS (SELECT lang, text, {tokens} AS toks FROM documents),
 g AS (SELECT *,
@@ -1855,6 +1899,27 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, item_id) AS rnk
   FROM pairs)
 SELECT probe_id, item_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
+
+    # kNN vote over the exact top-5: identical ranked CTE as cosine_topk,
+    # then a (probe, label) count with (n_votes DESC, label ASC) as the
+    # deterministic modal tie-break — the same rule the Spark window uses.
+    o["knn_label_vote"] = f"""
+WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS item_id, {cosine} AS cosine
+  FROM probes p JOIN embeddings c ON c.vec_id != p.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, item_id) AS rnk
+  FROM pairs),
+votes AS (
+  SELECT r.probe_id, e.label, CAST(count(*) AS BIGINT) AS n_votes
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.item_id
+  WHERE r.rnk <= 5 GROUP BY 1, 2),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY n_votes DESC, label) AS vr
+  FROM votes)
+SELECT probe_id, CAST(label AS BIGINT) AS pred_label, n_votes
+FROM best WHERE vr = 1"""
 
     o["lsh_signatures"] = f"""
 SELECT vec_id, {_sql_lsh_bucket("embedding")} AS bucket FROM embeddings"""

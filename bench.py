@@ -86,6 +86,7 @@ def main() -> None:
         "repetition_signals",
         "line_repetition",
         "corpus_stats",
+        "source_mix_stats",
         "line_dedup",
         "decontaminate",
         "decontaminate_join",
@@ -93,6 +94,7 @@ def main() -> None:
         "fingerprints",
         "tfidf_top_terms",
         "cosine_topk",
+        "knn_label_vote",
         "lsh_ann_topk",
         "ivf_ann_topk",
         "ivf_kmeans_cells",

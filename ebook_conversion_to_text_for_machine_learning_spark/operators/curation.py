@@ -251,3 +251,61 @@ def pack_sequences(
         offset.cast("long").alias("bin_offset"),
         F.floor(offset / F.lit(budget)).cast("long").alias("bin_id"),
     )
+
+
+def source_mix_stats(
+    df: DataFrame, *, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source curation rollup — the table a mixing decision reads.
+
+    For each source: document and token counts, exact-integer mean
+    quality (``corpus_stats``' x10k trick — float ``avg()`` would depend
+    on partial-agg summation order and break oracle parity), distinct
+    normalized fingerprints, the exact-duplicate rate, and the source's
+    share of corpus tokens. The two rates are INTEGER-divided x10k
+    values, exact in any engine. Scale shape: one scan into a per-source
+    partial aggregate (the key space is the source list, orders of
+    magnitude smaller than the corpus), plus a broadcast one-row total
+    for the share — no window, no second scan.
+
+    Returns (source, n_docs, n_tokens, mean_quality_x10k, n_unique,
+    dup_rate_x10k, token_share_x10k).
+    """
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
+        quality_score_x10k_col,
+    )
+
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    q10k = (
+        F.when(F.size(toks) > 0, quality_score_x10k_col(text)).otherwise(F.lit(0.0))
+    ).cast("long")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(text)), " +", " "))
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.size(toks).cast("long").alias("_n_tokens"),
+        q10k.alias("_q10k"),
+        fp.alias("_fp"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.sum("_q10k") / F.count("*")).cast("long").alias(
+            "mean_quality_x10k"
+        ),
+        F.count_distinct("_fp").cast("long").alias("n_unique"),
+    )
+    total = agg.agg(F.sum("n_tokens").alias("_total_tokens"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_quality_x10k",
+        "n_unique",
+        F.expr("((n_docs - n_unique) * 10000) div n_docs").alias(
+            "dup_rate_x10k"
+        ),
+        F.expr("(n_tokens * 10000) div _total_tokens").alias(
+            "token_share_x10k"
+        ),
+    )

@@ -131,6 +131,56 @@ def cosine_topk(
     )
 
 
+def knn_label_vote(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    topk: DataFrame | None = None,
+) -> DataFrame:
+    """kNN classification: majority label over the top-``k`` neighbors.
+
+    The standard embedding-quality / weak-labeling primitive: each probe
+    takes the modal label of its nearest neighbors (ties break on the
+    smaller label, so the vote is deterministic and SQL-expressible).
+    Neighbor search defaults to exact ``cosine_topk`` (broadcast probes,
+    corpus never shuffled); pass ``topk`` to vote over any other
+    (probe_id, item_id) producer — ``ivf_ann_topk``/``lsh_ann_topk``
+    emit the same shape, which is the sublinear path at corpus scale.
+    The vote itself is a partial-agg count on (probe, label) plus a
+    per-probe window bounded by k rows.
+
+    Returns (probe_id, pred_label, n_votes).
+    """
+    from pyspark.sql.window import Window
+
+    if topk is None:
+        topk = cosine_topk(corpus, probes, k=k, vec_col=vec_col, id_col=id_col)
+    labels = corpus.select(
+        F.col(id_col).alias("item_id"), F.col(label_col).alias("_label")
+    )
+    votes = (
+        topk.join(labels, "item_id")
+        .groupBy("probe_id", "_label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("n_votes"), F.asc("_label")
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "probe_id",
+            F.col("_label").cast("long").alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
 def lsh_bucket_signatures(
     df: DataFrame,
     dim: int,

@@ -488,6 +488,77 @@ def test_ivf_assign_arrow_rounds_before_argmax(spark):
     assert fast == expr
 
 
+def test_source_mix_stats_exact_integers(spark):
+    """Per-source rollup: counts, exact dup rate and token share as
+    integer-divided x10k BIGINTs. Source A has one exact duplicate pair
+    (identical normalized text), B has none; shares partition the corpus
+    token count."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        source_mix_stats,
+    )
+
+    rows = [
+        (1, "A", BASE),
+        (2, "A", "  " + BASE.upper() + " "),  # same normalized fingerprint
+        (3, "A", "a different document about ships at sea tonight"),
+        (4, "B", "the copper lantern hangs in the harbor window"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in source_mix_stats(df).collect()}
+    assert set(out) == {"A", "B"}
+    a, b = out["A"], out["B"]
+    assert (a.n_docs, a.n_unique) == (3, 2) and (b.n_docs, b.n_unique) == (1, 1)
+    assert a.dup_rate_x10k == (3 - 2) * 10000 // 3 and b.dup_rate_x10k == 0
+    total = a.n_tokens + b.n_tokens
+    assert a.token_share_x10k == a.n_tokens * 10000 // total
+    assert b.token_share_x10k == b.n_tokens * 10000 // total
+    assert 0 < a.mean_quality_x10k <= 10000
+
+
+def test_knn_label_vote_majority_and_tie_break(spark):
+    """Hand-built 2-D corpus: probe 100 sits among three label-7 vectors
+    and two label-3 vectors -> majority 7. Probe 200's top-4 split 2-2 ->
+    the modal tie breaks to the SMALLER label. The injected-topk path
+    (voting over ivf_ann_topk output) must agree with the exact path."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        ivf_ann_topk,
+        knn_label_vote,
+    )
+
+    corpus_rows = [
+        # cluster near e1: labels 7,7,7,3,3
+        (0, [1.0, 0.0], 7),
+        (1, [0.99, 0.14], 7),
+        (2, [0.99, -0.14], 7),
+        (3, [0.98, 0.2], 3),
+        (4, [0.98, -0.2], 3),
+        # far cluster near e2: labels 5,5,9,9
+        (10, [0.0, 1.0], 5),
+        (11, [0.1, 0.99], 5),
+        (12, [-0.1, 0.99], 9),
+        (13, [0.05, 0.99], 9),
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>, label int"
+    )
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.01]), (200, [0.0, 0.99])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.probe_id: (r.pred_label, r.n_votes) for r in
+           knn_label_vote(corpus, probes, k=5).collect()}
+    assert out[100] == (7, 3)
+    # probe 200's top-4 neighbors are the e2 cluster: labels 5,5,9,9 and
+    # the 5th vote comes from the far e1 cluster (label 7, 1 vote) —
+    # 2-2-1 -> modal tie 5 vs 9 breaks low
+    assert out[200] == (5, 2)
+    # injected sublinear top-k producer agrees on this tiny corpus
+    ann = ivf_ann_topk(corpus, probes, k=5, stride=10, nprobe=2)
+    out2 = {r.probe_id: (r.pred_label, r.n_votes) for r in
+            knn_label_vote(corpus, probes, topk=ann).collect()}
+    assert out2 == out
+
+
 def test_ivf_kmeans_recovers_planted_clusters(spark):
     """Spherical-Lloyd refinement must turn a bad stride-sampled codebook
     into the planted cluster structure: on a 4-cluster planted corpus the
