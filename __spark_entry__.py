@@ -75,6 +75,19 @@ def _collapse(col):
     return F.regexp_replace(_pystrip(col), r"(\s)+", "$1")
 
 
+def _scratch_index_path(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-(kind, sf_dir) scratch dir for persisted-index
+    queries: the writers are overwrite-idempotent, so repeated
+    harness/bench runs reuse one dir instead of leaking a mkdtemp per
+    invocation. Shared by the ANN and minhash index queries."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+
+
 def _golden_docs_df(spark: SparkSession) -> DataFrame:
     rows = [
         (
@@ -837,13 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # landed corpus (persisted as a minhash index at a deterministic
         # overwrite-idempotent path, built once per sf_dir); the % 3 == 0
         # docs arrive as the new batch and dedup against the index only.
-        import hashlib
-        import os
-        import tempfile
-
         docs = read_table(spark, sf_dir, "documents")
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = os.path.join(tempfile.gettempdir(), f"minhash_index_{tag}")
+        path = _scratch_index_path("minhash_index", sf_dir)
         if path not in _minhash_index_cache:
             D.write_minhash_index(docs.where(F.col("doc_id") % 3 != 0), path)
             _minhash_index_cache.add(path)
@@ -970,13 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scratch dir instead of leaking a mkdtemp per invocation.
         if sf_dir in _ann_index_cache:
             return _ann_index_cache[sf_dir]
-        import hashlib
-        import os
-        import tempfile
-
         emb = read_table(spark, sf_dir, "embeddings")
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = os.path.join(tempfile.gettempdir(), f"ann_index_{tag}")
+        path = _scratch_index_path("ann_index", sf_dir)
         S.write_ann_index(
             emb, EMBED_DIM, path,
             n_bands=_ND_BANDS, band_planes=_ND_BAND_PLANES,
@@ -1676,7 +1679,8 @@ a AS (SELECT source,
 tot AS (SELECT sum(n_tokens) AS total_tokens FROM a)
 SELECT source, n_docs, n_tokens, mean_quality_x10k, n_unique,
   CAST(((n_docs - n_unique) * 10000) // n_docs AS BIGINT) AS dup_rate_x10k,
-  CAST((n_tokens * 10000) // total_tokens AS BIGINT) AS token_share_x10k
+  CAST(CASE WHEN total_tokens > 0 THEN (n_tokens * 10000) // total_tokens
+       ELSE 0 END AS BIGINT) AS token_share_x10k
 FROM a CROSS JOIN tot"""
 
     o["corpus_stats"] = f"""

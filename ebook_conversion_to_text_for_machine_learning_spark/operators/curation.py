@@ -305,7 +305,11 @@ def source_mix_stats(
         F.expr("((n_docs - n_unique) * 10000) div n_docs").alias(
             "dup_rate_x10k"
         ),
-        F.expr("(n_tokens * 10000) div _total_tokens").alias(
-            "token_share_x10k"
-        ),
+        # zero-total guard: an all-empty corpus must yield share 0, not
+        # NULL (Spark div) / an error (DuckDB //) — and n_docs >= 1 by
+        # construction, so the dup rate needs no twin guard
+        F.expr(
+            "CASE WHEN _total_tokens > 0 THEN (n_tokens * 10000) div _total_tokens "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("token_share_x10k"),
     )

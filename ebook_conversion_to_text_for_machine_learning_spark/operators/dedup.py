@@ -110,14 +110,31 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = MINHASH_K
 
 
 def minhash_bands(signatures: DataFrame, k: int = MINHASH_K, band_size: int = BAND_SIZE) -> DataFrame:
-    """Explode signatures into (band_id, bucket) rows for the LSH join."""
+    """Explode signatures into (band_id, bucket) rows for the LSH join.
+
+    Buckets concatenate with null-PROPAGATING ``concat`` (the SQL ``||``
+    the oracle uses), and null buckets are dropped: gram-less docs carry
+    null signatures, and ``concat_ws`` used to collapse those to a shared
+    ``""`` bucket — every pair of gram-less docs then collided in every
+    band, a quadratic candidate blowup that the verify join discarded at
+    full cost (and a divergence from the SQL twin, whose NULL buckets
+    never join).
+    """
     bands = []
     for b in range(k // band_size):
-        cols = [F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
-        bands.append(F.struct(F.lit(b).alias("band_id"), F.concat_ws("|", *cols).alias("bucket")))
-    return signatures.select(
-        "doc_id", F.explode(F.array(*bands)).alias("band")
-    ).select("doc_id", "band.band_id", "band.bucket")
+        cols: list = []
+        for j in range(band_size):
+            if j:
+                cols.append(F.lit("|"))
+            cols.append(F.col(f"sig_{b * band_size + j}"))
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.concat(*cols).alias("bucket"))
+        )
+    return (
+        signatures.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+        .select("doc_id", "band.band_id", "band.bucket")
+        .where(F.col("bucket").isNotNull())
+    )
 
 
 def minhash_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -199,28 +216,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def gram_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, gram_hash) rows — md5 of each distinct 3-gram shingle.
+
+    The ONE definition both sides of the incremental index use: the index
+    writer persists these rows and the batch side recomputes them at
+    query time, so a change to the shingle width or hash salt can never
+    desynchronize the two (every candidate would silently fail
+    verification if it did).
+    """
+    return df.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("_g")
+    ).select("doc_id", F.md5("_g").alias("gram_hash"))
+
+
 def write_minhash_index(df: DataFrame, path: str, *, text_col: str = "text") -> None:
     """Persist a corpus's near-dup index for INCREMENTAL dedup.
 
-    Two narrow parquet tables under ``path``: ``bands/`` — the LSH band
-    table ``(doc_id, band_id, bucket)`` that generates candidates — and
-    ``grams/`` — ``(doc_id, gram_hash)`` rows (md5 of each distinct
-    3-gram shingle) that verify them with exact Jaccard. Storing hashes
-    instead of gram arrays keeps the index a fraction of corpus size and
-    lets the verify run as a partial-agg hash join, never re-reading the
-    indexed corpus's text. Overwrite-idempotent, so rebuilding after a
-    corpus append is a plain re-run.
+    Three narrow parquet tables under ``path``: ``bands/`` — the LSH
+    band table ``(doc_id, band_id, bucket)`` that generates candidates —
+    ``grams/`` — ``gram_hashes`` rows that verify them with exact
+    Jaccard — and ``counts/`` — per-doc gram totals, derived from the
+    just-written ``grams/`` with one narrow scan so query time never
+    aggregates the corpus-scale gram table (the batch's few candidates
+    join the tiny counts table instead). Storing hashes instead of gram
+    arrays keeps the index a fraction of corpus size, and the verify
+    runs as a partial-agg hash join, never re-reading the indexed
+    corpus's text. Overwrite-idempotent, so rebuilding after a corpus
+    append is a plain re-run.
     """
     base = path.rstrip("/")
     sigs = minhash_signatures(df, text_col)
     minhash_bands(sigs).write.mode("overwrite").parquet(f"{base}/bands")
+    gram_hashes(df, text_col).write.mode("overwrite").parquet(f"{base}/grams")
+    spark = df.sparkSession
     (
-        df.select(
-            "doc_id", F.explode(shingles_col(F.col(text_col))).alias("_g")
-        )
-        .select("doc_id", F.md5("_g").alias("gram_hash"))
+        spark.read.parquet(f"{base}/grams")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_grams"))
         .write.mode("overwrite")
-        .parquet(f"{base}/grams")
+        .parquet(f"{base}/counts")
     )
 
 
@@ -263,21 +298,28 @@ def dedup_against_index(
         )
         .distinct()
     )
-    b_grams = batch.select(
-        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("_g")
-    ).select("doc_id", F.md5("_g").alias("gram_hash"))
+    b_grams = gram_hashes(batch, text_col)
     n_batch = b_grams.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("_nb")
     )
-    n_idx = idx_grams.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("_ni")
+    # Index-side totals come from the precomputed counts/ table — never a
+    # corpus-scale aggregate of grams/ at query time (that would break
+    # the cost-scales-with-the-batch contract).
+    n_idx = spark.read.parquet(f"{base}/counts").select(
+        "doc_id", F.col("n_grams").alias("_ni")
+    )
+    # Prefilter the corpus-scale gram table with a BROADCAST semi-join on
+    # the (batch-scale) candidate set: grams/ is scanned but never
+    # shuffled — only the candidates' gram rows enter the verify
+    # exchange. Without this the (dup_of, gram_hash) join would shuffle
+    # the whole index.
+    cand_grams = (
+        idx_grams.withColumnRenamed("doc_id", "dup_of")
+        .join(F.broadcast(cands.select("dup_of").distinct()), "dup_of", "left_semi")
     )
     common = (
         cands.join(b_grams, "doc_id")
-        .join(
-            idx_grams.withColumnRenamed("doc_id", "dup_of"),
-            ["dup_of", "gram_hash"],
-        )
+        .join(cand_grams, ["dup_of", "gram_hash"])
         .groupBy("doc_id", "dup_of")
         .agg(F.count("*").cast("long").alias("n_common"))
     )

@@ -41,6 +41,27 @@ def test_minhash_finds_near_duplicates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_gramless_docs_emit_no_bands_and_no_candidates(spark):
+    """Docs with fewer than 3 tokens have null MinHash signatures; their
+    band buckets must be DROPPED, not collapsed to a shared '' bucket —
+    concat_ws used to do that, making every pair of gram-less docs a
+    candidate in every band (quadratic blowup the verify join discarded
+    at full cost, and a divergence from the SQL twin's NULL buckets)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        minhash_bands,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df = _docs_df(
+        spark,
+        [(1, "en", "too short"), (2, "en", "also tiny"), (3, "en", BASE)],
+    )
+    bands = minhash_bands(minhash_signatures(df)).collect()
+    assert {r.doc_id for r in bands} == {3}
+    assert minhash_candidate_pairs(df).collect() == []
+
+
 def test_dedup_against_index_round_trip(spark, tmp_path):
     """Incremental dedup: near-dups of INDEXED docs are flagged with the
     exact-Jaccard counts, novel batch docs report nothing, and the whole
@@ -549,8 +570,8 @@ def test_knn_label_vote_majority_and_tie_break(spark):
            knn_label_vote(corpus, probes, k=5).collect()}
     assert out[100] == (7, 3)
     # probe 200's top-4 neighbors are the e2 cluster: labels 5,5,9,9 and
-    # the 5th vote comes from the far e1 cluster (label 7, 1 vote) —
-    # 2-2-1 -> modal tie 5 vs 9 breaks low
+    # the 5th is vec 3 from the e1 cluster (cos ~0.200, label 3, 1 vote)
+    # — 2-2-1 -> modal tie 5 vs 9 breaks low
     assert out[200] == (5, 2)
     # injected sublinear top-k producer agrees on this tiny corpus
     ann = ivf_ann_topk(corpus, probes, k=5, stride=10, nprobe=2)
