@@ -1026,6 +1026,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semantic_dedup"] = semantic_dedup
 
+    def semantic_dedup_kmeans(spark, sf_dir):
+        # The paper's actual recipe: k-means cells, not a raw stride
+        # sample. Two Lloyd passes refine the codebook, then the same
+        # within-cell min-id-witness marking; the oracle unrolls the
+        # refinement AND the dup rule, so the full composed path is
+        # hash-verified.
+        emb = read_table(spark, sf_dir, "embeddings")
+        return S.semantic_dedup(
+            emb, tau=0.35, target_cells=_IVF_TEST_CELLS, kmeans_iters=2
+        )
+
+    q["semantic_dedup_kmeans"] = semantic_dedup_kmeans
+
     # --- multimodal plumbing -------------------------------------------------
     def media_features(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
@@ -1999,22 +2012,40 @@ cent{n} AS (
   SELECT centroid_id, cvec::DOUBLE[] AS cvec FROM {prev}
   WHERE centroid_id NOT IN (SELECT centroid_id FROM mean{n}))"""
 
-    o["ivf_kmeans_cells"] = f"""
-WITH cent0 AS (
+    _km_final_assign = f"""
+scoredF AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         {_SQL_COSINE.format(p="e.embedding", c="c.cvec")} AS cos
+  FROM embeddings e CROSS JOIN cent2 c),
+assignF AS (
+  SELECT vec_id, embedding, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS crnk
+  FROM scoredF)"""
+
+    _km_ctes = f"""cent0 AS (
   SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
   WHERE vec_id % (SELECT greatest(1, count(*) // {_IVF_TEST_CELLS}) FROM embeddings) = 0),
 {_km_iter("cent0", 1)},
 {_km_iter("cent1", 2)},
-scoredF AS (
-  SELECT e.vec_id, c.centroid_id,
-         {_SQL_COSINE.format(p="e.embedding", c="c.cvec")} AS cos
-  FROM embeddings e CROSS JOIN cent2 c),
-assignF AS (
-  SELECT vec_id, centroid_id,
-         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS crnk
-  FROM scoredF)
+{_km_final_assign}"""
+
+    o["ivf_kmeans_cells"] = f"""
+WITH {_km_ctes}
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(centroid_id AS BIGINT) AS cell_id
 FROM assignF WHERE crnk = 1"""
+
+    # Composed path: the refined codebook's cells feed the identical
+    # within-cell min-id-witness dup rule as o["semantic_dedup"].
+    o["semantic_dedup_kmeans"] = f"""
+WITH {_km_ctes},
+cells AS (SELECT vec_id, embedding, centroid_id AS cell_id FROM assignF WHERE crnk = 1),
+dup AS (
+  SELECT DISTINCT r.vec_id
+  FROM cells l JOIN cells r ON l.cell_id = r.cell_id AND l.vec_id < r.vec_id
+  WHERE {_SQL_COSINE.format(p="l.embedding", c="r.embedding")} >= 0.35)
+SELECT CAST(c.vec_id AS BIGINT) AS vec_id, CAST(c.cell_id AS BIGINT) AS cell_id,
+       (d.vec_id IS NOT NULL) AS is_semantic_dup
+FROM cells c LEFT JOIN dup d ON d.vec_id = c.vec_id"""
 
     o["ivf_ann_topk"] = f"""
 WITH {ivf_assign_ctes},

@@ -100,6 +100,7 @@ def main() -> None:
         "ivf_kmeans_cells",
         "embedding_near_dup",
         "semantic_dedup",
+        "semantic_dedup_kmeans",
         "media_features",
         "frame_samples",
         "resize_media",

