@@ -1217,6 +1217,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = events_hourly
 
+    def events_percentiles(spark, sf_dir):
+        # Exact interpolated percentiles: Spark's percentile() and
+        # DuckDB's quantile_cont() share the (n-1)p linear-interpolation
+        # definition, verified to agree to 4dp on this table. Spark's
+        # exact percentile is a full-sort-per-group aggregate — right for
+        # grouped dashboard rollups (bounded groups), not for a 10^12-row
+        # ungrouped quantile, where approx_percentile is the scale path.
+        events = read_table(spark, sf_dir, "events")
+        return events.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_value"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+
+    q["events_percentiles"] = events_percentiles
+
     return q
 
 
@@ -2202,5 +2219,16 @@ SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
   round(sum(value), 2) AS sum_value
 FROM events
 GROUP BY 1, 2"""
+
+    # quantile_cont shares Spark percentile()'s (n-1)p interpolation —
+    # verified to agree to 4dp on this table before registration.
+    o["events_percentiles"] = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(quantile_cont(value, 0.5), 4) AS p50_value,
+  round(quantile_cont(value, 0.95), 4) AS p95_value,
+  round(max(value), 4) AS max_value
+FROM events
+GROUP BY 1"""
 
     return o

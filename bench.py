@@ -110,6 +110,7 @@ def main() -> None:
         "pricing_summary",
         "nation_revenue",
         "events_hourly",
+        "events_percentiles",
     ):
         start = time.time()
         # noop sink, not count(): count() lets Catalyst prune pure-projection
