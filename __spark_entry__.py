@@ -2051,18 +2051,6 @@ WITH {_km_ctes}
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(centroid_id AS BIGINT) AS cell_id
 FROM assignF WHERE crnk = 1"""
 
-    # Composed path: the refined codebook's cells feed the identical
-    # within-cell min-id-witness dup rule as o["semantic_dedup"].
-    o["semantic_dedup_kmeans"] = f"""
-WITH {_km_ctes},
-cells AS (SELECT vec_id, embedding, centroid_id AS cell_id FROM assignF WHERE crnk = 1),
-dup AS (
-  SELECT DISTINCT r.vec_id
-  FROM cells l JOIN cells r ON l.cell_id = r.cell_id AND l.vec_id < r.vec_id
-  WHERE {_SQL_COSINE.format(p="l.embedding", c="r.embedding")} >= 0.35)
-SELECT CAST(c.vec_id AS BIGINT) AS vec_id, CAST(c.cell_id AS BIGINT) AS cell_id,
-       (d.vec_id IS NOT NULL) AS is_semantic_dup
-FROM cells c LEFT JOIN dup d ON d.vec_id = c.vec_id"""
 
     o["ivf_ann_topk"] = f"""
 WITH {ivf_assign_ctes},
@@ -2099,10 +2087,12 @@ WHERE {_SQL_COSINE.format(p="a.embedding", c="b.embedding")} >= 0.25"""
 
     # SemDeDup from scratch: the same stride-sampled IVF assignment CTEs,
     # then a within-cell self-join marks every row that has a lower-id
-    # neighbor at round(cosine,4) >= tau in its own cell.
-    o["semantic_dedup"] = f"""
-WITH {ivf_assign_ctes},
-cells AS (SELECT vec_id, embedding, centroid_id AS cell_id FROM assign WHERE crnk = 1),
+    # neighbor at round(cosine,4) >= tau in its own cell. The dup rule
+    # has ONE definition, parameterized on the assignment CTE, so the
+    # stride and k-means variants can never desynchronize.
+    def _semdedup_tail(assign_cte: str) -> str:
+        return f"""
+cells AS (SELECT vec_id, embedding, centroid_id AS cell_id FROM {assign_cte} WHERE crnk = 1),
 dup AS (
   SELECT DISTINCT r.vec_id
   FROM cells l JOIN cells r ON l.cell_id = r.cell_id AND l.vec_id < r.vec_id
@@ -2110,6 +2100,17 @@ dup AS (
 SELECT CAST(c.vec_id AS BIGINT) AS vec_id, CAST(c.cell_id AS BIGINT) AS cell_id,
        (d.vec_id IS NOT NULL) AS is_semantic_dup
 FROM cells c LEFT JOIN dup d ON d.vec_id = c.vec_id"""
+
+    o["semantic_dedup"] = f"""
+WITH {ivf_assign_ctes},
+{_semdedup_tail("assign")}"""
+
+    # Composed path: the refined codebook's cells feed the SHARED
+    # within-cell min-id-witness dup rule (_semdedup_tail) after the
+    # unrolled two-iteration Lloyd refinement (_km_ctes).
+    o["semantic_dedup_kmeans"] = f"""
+WITH {_km_ctes},
+{_semdedup_tail("assignF")}"""
 
     # Byte-exact framing: slice the hex encoding (2 chars/byte) so offsets
     # and the md5 fingerprint operate on BYTES in both engines even when

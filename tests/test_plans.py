@@ -205,18 +205,27 @@ def test_incremental_dedup_with_seen_hashes(spark):
 
 def test_dedup_against_index_cost_is_batch_bounded(spark):
     """The incremental-dedup contract: query-time cost scales with the
-    batch, never the indexed corpus. Pinned as (a) index-side per-doc
-    totals come from the precomputed counts/ table, NOT a corpus-scale
-    aggregate of grams/ (no HashAggregate directly over a grams scan),
-    and (b) the verify join prefilters grams/ with a BROADCAST LeftSemi
-    on the candidate set, so the gram table is scanned but never
-    shuffled."""
+    batch, never the indexed corpus. Pinned block-by-block on the
+    FORMATTED plan (a bare substring check was vacuous — simple-mode
+    strings like 'LeftSemi, BuildRight' never appear in formatted
+    output, and unrelated BroadcastExchange nodes satisfied the old
+    fallback): (a) the candidate prefilter is a BROADCAST hash join
+    whose own detail block says LeftSemi — the corpus-scale grams/ table
+    streams through it unshuffled; (b) no join in the plan is a
+    SortMergeJoin, i.e. nothing shuffles a full index table into a merge
+    join; (c) index-side totals come from the counts/ scan."""
+    import re
+
     plan = plan_of(entrymod.queries()["dedup_against_index"](spark, SF_DIR))
-    assert "LeftSemi, BuildRight" in plan or (
-        "LeftSemi" in plan and "BroadcastExchange" in plan
-    )
-    # counts/ feeds the totals: its scan appears; and no exchange
-    # hash-partitions the full gram table's rows by (dup_of, gram_hash)
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    semi_bhj = [
+        b
+        for b in blocks
+        if b.split("\n", 1)[0].split(") ", 1)[-1].startswith("BroadcastHashJoin")
+        and "Join type: LeftSemi" in b
+    ]
+    assert semi_bhj, "broadcast LeftSemi prefilter missing from plan"
+    assert "SortMergeJoin" not in plan
     assert "/counts" in plan
     assert "BatchEvalPython" not in plan
 
