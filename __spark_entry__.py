@@ -710,6 +710,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["line_dedup"] = line_dedup
 
+    def repeated_passages(spark, sf_dir):
+        return D.repeated_passages(
+            read_table(spark, sf_dir, "documents"), width=8, min_docs=2
+        )
+
+    q["repeated_passages"] = repeated_passages
+
     def decontaminate(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
         eval_df = docs.where(F.col("doc_id") % 97 == 0)
@@ -1762,6 +1769,20 @@ SELECT doc_id,
   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
   coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_idx), '') AS kept_text
 FROM k GROUP BY doc_id"""
+
+    # width=8 token windows at stride 1; Spark's F.slice(toks, i, 8) ==
+    # DuckDB's toks[i:i+7] (both 1-based, 8 elements).
+    o["repeated_passages"] = f"""
+WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
+w AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(toks) - 6),
+                              i -> md5(array_to_string(toks[i:i+7], ' ')))) AS passage_hash
+      FROM t WHERE len(toks) >= 8)
+SELECT passage_hash,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  min(doc_id) AS first_doc
+FROM w GROUP BY passage_hash HAVING count(DISTINCT doc_id) >= 2"""
 
     o["decontaminate"] = f"""
 WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),

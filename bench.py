@@ -88,6 +88,7 @@ def main() -> None:
         "corpus_stats",
         "source_mix_stats",
         "line_dedup",
+        "repeated_passages",
         "decontaminate",
         "decontaminate_join",
         "language_id",

@@ -216,6 +216,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def repeated_passages(
+    df: DataFrame,
+    *,
+    width: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-passage detection: token windows of
+    ``width`` consecutive tokens, hashed at stride 1, grouped corpus-wide.
+
+    This is the Spark-native stand-in for exact substring dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    a suffix array is a single-machine structure, but TOKEN-ALIGNED
+    sliding windows give the same guarantee distributively — any passage
+    of ``width`` or more shared tokens produces at least one identical
+    window in every document containing it, regardless of character
+    offsets, because token boundaries are content-defined alignment
+    points. Unlike ``line_dedup`` (exact whole-line granularity) and
+    MinHash (document-level similarity), this finds the *passages*
+    themselves — the boilerplate headers, license blocks and quoted
+    chunks that repeat across otherwise-distinct documents.
+
+    Scale shape: one explode to narrow ``(doc_id, md5(window))`` rows —
+    fan-out is ~n_tokens per document, same order as the shingle explode
+    ``minhash_signatures`` already pays — then ONE hash aggregate.
+    ``count(distinct doc_id)`` is Spark's two-phase distinct-aggregate
+    (partial sets map-side), and the singleton-window majority never
+    survives the HAVING, so the output is bounded by the true repeated
+    mass. Nothing touches Python; no window functions.
+
+    Returns one row per passage seen in at least ``min_docs`` distinct
+    documents: (passage_hash, n_docs, n_occurrences, first_doc).
+    Occurrences within one document all count toward ``n_occurrences``.
+    """
+    toks = tokens_col(F.col(text_col))
+    wins = F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (width - 1)),
+            lambda i: F.array_join(F.slice(toks, i, width), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # The window array is built INSIDE the explode argument — never
+    # projected next to an aggregate of itself (the size()-beside-explode
+    # Catalyst re-inlining trap documented in ``decontaminate``).
+    exploded = df.select(
+        "doc_id", F.explode(wins).alias("_w")
+    ).select("doc_id", F.md5("_w").alias("passage_hash"))
+    return (
+        exploded.groupBy("passage_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def gram_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, gram_hash) rows — md5 of each distinct 3-gram shingle.
 

@@ -1055,6 +1055,36 @@ def test_line_dedup_keeps_first_occurrence_and_reassembles(spark):
     assert (rows[3].n_lines, rows[3].n_kept) == (1, 0)
 
 
+def test_repeated_passages_finds_cross_doc_windows(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        repeated_passages,
+    )
+
+    shared = "one two three four"  # exactly one width-4 window
+    df = _docs_df(
+        spark,
+        [
+            (1, "en", f"{shared} alpha beta"),
+            (2, "en", f"head {shared} gamma delta"),  # shifted by one token
+            (3, "en", "totally different words here now"),
+            (4, "en", "short"),  # < width tokens → no windows
+        ],
+    )
+    rows = repeated_passages(df, width=4, min_docs=2).collect()
+    # Token alignment makes the shifted copy still produce the identical
+    # window; only the genuinely shared passage survives min_docs=2.
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_docs, r.n_occurrences, r.first_doc) == (2, 2, 1)
+
+    # Within-doc repeats count toward occurrences but not doc count.
+    df2 = _docs_df(spark, [(7, "en", f"{shared} x {shared}")])
+    assert repeated_passages(df2, width=4, min_docs=2).count() == 0
+    solo = repeated_passages(df2, width=4, min_docs=1).collect()
+    occ = {r.n_occurrences for r in solo if r.n_docs == 1}
+    assert 2 in occ  # the shared window occurs twice inside doc 7
+
+
 def test_decontaminate_flags_eval_overlap(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
         decontaminate,
