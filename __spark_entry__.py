@@ -688,6 +688,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_mix_stats"] = source_mix_stats
 
+    def quality_filter_funnel(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+            curation as C,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        toks = T.tokens_col(F.col("text"))
+        n = F.size(toks)
+        distinct_x10k = F.floor(
+            F.size(F.array_distinct(toks)).cast("double")
+            / n.cast("double")
+            * 10000.0
+            + 0.5
+        )
+        return C.filter_funnel(
+            docs,
+            [
+                ("lang_en", F.col("lang") == "en"),
+                ("min_tokens", n >= 40),
+                ("quality", (n > 0) & (T.quality_score_x10k_col(F.col("text")) >= 5500)),
+                ("lexical_diversity", distinct_x10k >= 5000),
+            ],
+        )
+
+    q["quality_filter_funnel"] = quality_filter_funnel
+
     # --- dedup -------------------------------------------------------------
     def exact_dedup(spark, sf_dir):
         return D.exact_dedup(read_table(spark, sf_dir, "documents"))
@@ -1719,6 +1745,33 @@ SELECT source, n_docs, n_tokens, mean_quality_x10k, n_unique,
   CAST(CASE WHEN total_tokens > 0 THEN (n_tokens * 10000) // total_tokens
        ELSE 0 END AS BIGINT) AS token_share_x10k
 FROM a CROSS JOIN tot"""
+
+    # Funnel stages mirror the Spark query cumulatively; n>=40 subsumes the
+    # Spark side's n>0 quality-guard, so the conditions are identical.
+    o["quality_filter_funnel"] = f"""
+WITH t AS (SELECT lang, {tokens} AS toks FROM documents),
+r AS (SELECT lang, len(toks) AS n,
+    CASE WHEN len(toks) > 0 THEN
+      floor((0.4 * least(1.0, len(toks)::DOUBLE / 50.0)
+           + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE)
+           + 0.3 * (len(list_filter(toks, x -> list_contains({_STOPWORD_SQL_LIST}, lower(x))))::DOUBLE
+                    / len(toks)::DOUBLE)) * 10000.0 + 0.5)
+    END AS q10k,
+    CASE WHEN len(toks) > 0 THEN
+      floor(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE * 10000.0 + 0.5)
+    END AS dr10k
+  FROM t),
+c AS (SELECT
+    CAST(count(*) AS BIGINT) AS c0,
+    CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1,
+    CAST(coalesce(sum(CASE WHEN lang = 'en' AND n >= 40 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2,
+    CAST(coalesce(sum(CASE WHEN lang = 'en' AND n >= 40 AND q10k >= 5500 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c3,
+    CAST(coalesce(sum(CASE WHEN lang = 'en' AND n >= 40 AND q10k >= 5500 AND dr10k >= 5000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4
+  FROM r)
+SELECT CAST(1 AS INT) AS stage_idx, 'lang_en' AS stage, c0 AS n_in, c0 - c1 AS n_dropped, c1 AS n_out FROM c
+UNION ALL SELECT 2, 'min_tokens', c1, c1 - c2, c2 FROM c
+UNION ALL SELECT 3, 'quality', c2, c2 - c3, c3 FROM c
+UNION ALL SELECT 4, 'lexical_diversity', c3, c3 - c4, c4 FROM c"""
 
     o["corpus_stats"] = f"""
 WITH t AS (SELECT lang, text, {tokens} AS toks FROM documents),

@@ -87,6 +87,7 @@ def main() -> None:
         "line_repetition",
         "corpus_stats",
         "source_mix_stats",
+        "quality_filter_funnel",
         "line_dedup",
         "repeated_passages",
         "decontaminate",

@@ -253,6 +253,63 @@ def pack_sequences(
     )
 
 
+def filter_funnel(
+    df: DataFrame, stages: "list[tuple[str, Column]]"
+) -> DataFrame:
+    """Stage-attributed survival counts for a sequential filter chain —
+    the report a curation run publishes so every dropped document is
+    accountable to exactly one named filter (the FineWeb/Gopher-style
+    ablation table).
+
+    ``stages`` is an ordered list of ``(name, boolean Column)``; a
+    document is IN stage ``i`` iff it passed all stages before it, so
+    each document's drop is attributed to the FIRST predicate it fails.
+    NULL predicate values count as drops (a filter that cannot evaluate
+    must not silently pass data through).
+
+    Scale shape: ONE corpus scan — the cumulative-survival flags are
+    plain boolean expressions evaluated per row, collapsed by a single
+    partial-agg ``sum()`` aggregate into one row of counters, and the
+    per-stage rows are then exploded from that one-row frame (constant
+    cost). No joins, no windows, no second scan, no Python; adding a
+    stage adds one conjunction to the row expression, not a pass.
+
+    Returns one row per stage: (stage_idx, stage, n_in, n_dropped,
+    n_out), where ``n_in`` of stage 1 is the corpus size and ``n_out``
+    of stage k is the surviving-document count.
+    """
+    if not stages:
+        raise ValueError("filter_funnel: stages must be non-empty")
+    names = [name for name, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"filter_funnel: duplicate stage names in {names}")
+    cum = F.lit(True)
+    aggs = [F.count("*").cast("long").alias("_c0")]
+    for i, (_, pred) in enumerate(stages, start=1):
+        cum = cum & F.coalesce(pred, F.lit(False))
+        # coalesce: sum() over an empty corpus is NULL, and the funnel
+        # must still report k well-formed zero rows.
+        aggs.append(
+            F.coalesce(F.sum(cum.cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"_c{i}")
+        )
+    counters = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"_c{i - 1}").alias("n_in"),
+                (F.col(f"_c{i - 1}") - F.col(f"_c{i}")).alias("n_dropped"),
+                F.col(f"_c{i}").alias("n_out"),
+            )
+            for i, name in enumerate(names, start=1)
+        ]
+    )
+    return counters.select(F.explode(rows).alias("s")).select("s.*")
+
+
 def source_mix_stats(
     df: DataFrame, *, text_col: str = "text", source_col: str = "source"
 ) -> DataFrame:

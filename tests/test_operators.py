@@ -1113,6 +1113,43 @@ def test_decontaminate_flags_eval_overlap(spark):
     }
 
 
+def test_filter_funnel_attributes_drops_to_first_failing_stage(spark):
+    from pyspark.sql import functions as F
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        filter_funnel,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 100),  # passes everything
+            (2, "en", 10),  # dropped by min_len
+            (3, "de", 500),  # dropped by lang (never reaches min_len)
+            (4, None, 500),  # NULL lang → dropped by lang, not passed through
+        ],
+        "doc_id int, lang string, n int",
+    )
+    stages = [
+        ("lang_en", F.col("lang") == "en"),
+        ("min_len", F.col("n") >= 50),
+    ]
+    rows = {r.stage: r for r in filter_funnel(df, stages).collect()}
+    assert (rows["lang_en"].n_in, rows["lang_en"].n_dropped, rows["lang_en"].n_out) == (4, 2, 2)
+    assert (rows["min_len"].n_in, rows["min_len"].n_dropped, rows["min_len"].n_out) == (2, 1, 1)
+    assert [r.stage_idx for r in sorted(rows.values(), key=lambda r: r.stage_idx)] == [1, 2]
+
+    # Empty corpus still yields one well-formed zero row per stage.
+    empty = filter_funnel(df.where(F.lit(False)), stages).collect()
+    assert [(r.n_in, r.n_dropped, r.n_out) for r in empty] == [(0, 0, 0)] * 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        filter_funnel(df, [])
+    with pytest.raises(ValueError):
+        filter_funnel(df, [("a", F.lit(True)), ("a", F.lit(True))])
+
+
 def test_stratified_sample_deterministic_and_rate_bounded(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
         stratified_sample,
