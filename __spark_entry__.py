@@ -340,6 +340,39 @@ _ND_BAND_PLANES = 8
 #: from count(*), mirroring ivf_centroids' constant-size-codebook rule.
 _IVF_TEST_CELLS = 10
 
+#: PQ codebook size for the driver queries: production default is
+#: S.PQ_TARGET_CODES (256 codes = byte-packed); the 500-vector synthetic
+#: corpus samples ~16 so every code captures ~30 vectors. The oracle
+#: derives the identical stride from count(*).
+_PQ_TEST_CODES = 16
+
+
+def _sql_pq_ctes() -> str:
+    """Shared PQ oracle prefix: stride-sampled codebook (code = dense rank
+    of the sampled vec_id, sliced into 8 subvectors of 8 dims), then the
+    exact-integer quantized distance Σ_i floor((x_i−c_i)²·10⁴+0.5) from
+    every vector to every (subspace, code) — mirrors S.pq_codebooks /
+    S._pq_qdist. ``d`` holds all distances; ``codes`` the argmin
+    (min-code tie-break) per (vec, subspace)."""
+    return f"""
+cb0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding::DOUBLE[] AS cvec
+  FROM embeddings
+  WHERE vec_id % (SELECT greatest(1, count(*) // {_PQ_TEST_CODES}) FROM embeddings) = 0),
+cb AS (
+  SELECT s, code, cvec[s*8+1 : s*8+8] AS sub
+  FROM cb0 CROSS JOIN (SELECT unnest(range(0, 8)) AS s)),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+d AS (
+  SELECT v.vec_id, cb.s, cb.code,
+    list_sum(list_transform(range(1, 9), i ->
+      CAST(floor((e[cb.s*8 + i] - sub[i]) * (e[cb.s*8 + i] - sub[i]) * 10000.0 + 0.5) AS BIGINT))) AS q
+  FROM v CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY q, code) AS r
+    FROM d) WHERE r = 1)"""
+
 
 def _sql_banded_bucket_selects(vec_table: str) -> str:
     """UNION ALL of one (vec_id, band_id, bucket) select per LSH band,
@@ -1036,6 +1069,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("probe_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
     q["ivf_ann_topk_indexed"] = ivf_ann_topk_indexed
+
+    _pq_books_cache: dict = {}
+
+    def _pq_books(spark, sf_dir):
+        if sf_dir not in _pq_books_cache:
+            emb = read_table(spark, sf_dir, "embeddings")
+            _pq_books_cache[sf_dir] = (
+                emb,
+                S.pq_codebooks(emb, target_codes=_PQ_TEST_CODES),
+            )
+        return _pq_books_cache[sf_dir]
+
+    def pq_codes(spark, sf_dir):
+        emb, books = _pq_books(spark, sf_dir)
+        return S.pq_encode(emb, books).select(
+            "vec_id", F.posexplode("codes").alias("subspace", "code")
+        )
+
+    q["pq_codes"] = pq_codes
+
+    def pq_ann_topk(spark, sf_dir):
+        emb, books = _pq_books(spark, sf_dir)
+        probes = emb.where(F.col("vec_id") < 10)
+        out = S.pq_adc_topk(emb, probes, books, k=5)
+        return out.select(
+            "probe_id", "item_id", "adc_x10k", F.col("rank").cast("int").alias("rank")
+        )
+
+    q["pq_ann_topk"] = pq_ann_topk
 
     def embedding_near_dup(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
@@ -2028,6 +2090,23 @@ best AS (
   FROM votes)
 SELECT probe_id, CAST(label AS BIGINT) AS pred_label, n_votes
 FROM best WHERE vr = 1"""
+
+    o["pq_codes"] = f"""
+WITH {_sql_pq_ctes()}
+SELECT vec_id, CAST(s AS INT) AS subspace, CAST(code AS INT) AS code FROM codes"""
+
+    o["pq_ann_topk"] = f"""
+WITH {_sql_pq_ctes()},
+pt AS (SELECT vec_id AS probe_id, s, code, q FROM d WHERE vec_id < 10),
+adc AS (
+  SELECT pt.probe_id, c.vec_id AS item_id, CAST(sum(pt.q) AS BIGINT) AS adc_x10k
+  FROM codes c JOIN pt ON pt.s = c.s AND pt.code = c.code
+  WHERE c.vec_id != pt.probe_id
+  GROUP BY pt.probe_id, c.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc_x10k, item_id) AS rnk
+  FROM adc)
+SELECT probe_id, item_id, adc_x10k, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
 
     o["lsh_signatures"] = f"""
 SELECT vec_id, {_sql_lsh_bucket("embedding")} AS bucket FROM embeddings"""

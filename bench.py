@@ -100,6 +100,8 @@ def main() -> None:
         "lsh_ann_topk",
         "ivf_ann_topk",
         "ivf_kmeans_cells",
+        "pq_codes",
+        "pq_ann_topk",
         "embedding_near_dup",
         "semantic_dedup",
         "semantic_dedup_kmeans",

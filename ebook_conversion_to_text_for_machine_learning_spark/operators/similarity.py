@@ -1063,3 +1063,262 @@ def ivf_ann_topk_indexed(
             ).alias("probe_cell"),
         )
     return _ivf_topk_from_cells(index.cells, probe_cells, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-bounded ANN codes + ADC search
+# ---------------------------------------------------------------------------
+
+#: PQ configuration: ``PQ_M`` subspaces of dim/M dims each, ``PQ_TARGET_CODES``
+#: codes per subspace. Production (256 codes = 1 byte/subspace) compresses a
+#: 64-dim float32 vector (256 B) to 8 B — the difference between an embedding
+#: lake that fits in executor memory and one that doesn't. The codebook is
+#: CONSTANT-size in the corpus (same stride rule as ``ivf_centroids``):
+#: m × 256 × (dim/m) floats ≈ 64 KB at these defaults, broadcast-trivial.
+PQ_M = 8
+PQ_TARGET_CODES = 256
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    m: int = PQ_M,
+    target_codes: int = PQ_TARGET_CODES,
+    stride: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Per-subspace PQ codebooks from ONE strided sample — bounded collect.
+
+    The full-vector sample rows (every ``stride``-th id, stride defaulting
+    to ``max(1, N // target_codes)`` so the codebook never grows with the
+    corpus) are sorted by id and sliced into ``m`` equal subvectors; code
+    ``c`` in every subspace comes from the same sampled row, and codes are
+    dense ranks 0..k-1 so they pack into a byte at the production setting.
+    Swap in per-subspace k-means output in production without touching the
+    encode/search plan (same upgrade path as ``ivf_kmeans_centroids``).
+
+    Returns ``m`` lists of ``(code, subvector)``, each sorted by code.
+    Raises on an empty sample or a dimension not divisible by ``m``.
+    """
+    if stride is None:
+        stride = max(1, corpus.count() // target_codes)
+    rows = (
+        corpus.where(F.col(id_col) % stride == 0)
+        .select(F.col(id_col).cast("long").alias("sid"), F.col(vec_col).alias("svec"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"pq_codebooks: empty sample (no {id_col} divisible by stride "
+            f"{stride}); pass a smaller stride/target_codes or remap ids"
+        )
+    sample = sorted((int(r.sid), [float(x) for x in r.svec]) for r in rows)
+    dim = len(sample[0][1])
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    d0 = dim // m
+    return [
+        [(code, vec[s * d0 : (s + 1) * d0]) for code, (_, vec) in enumerate(sample)]
+        for s in range(m)
+    ]
+
+
+def _pq_qdist(sub: Column, centroid: list) -> Column:
+    """Quantized squared L2 distance between a subvector column and a
+    codebook entry: ``Σ_i floor((x_i − c_i)² · 10⁴ + 0.5)`` as BIGINT.
+
+    Quantizing PER COMPONENT before the sum makes the distance an exact
+    integer in every engine — a float Σ(x−c)² rounded at the end would
+    inherit the engine's summation order (numpy sums pairwise, SQL
+    engines fold left), and ADC then ranks by SUMS of these quantities,
+    compounding the noise. Integer addition is associative; the only
+    residual parity window is a product landing within one ulp of a
+    .5 quantization boundary, the same accepted class as every other
+    x10k operator in this module.
+    """
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            lit,
+            lambda x, c: F.floor(
+                (x.cast("double") - c) * (x.cast("double") - c) * F.lit(10000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode_expr(
+    corpus: DataFrame,
+    codebooks: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Expression-twin PQ encoder — oracle-parity path, small codebooks
+    only (the plan inlines one struct per (subspace, code); at the
+    production 8×256 setting use ``pq_encode``, whose plan is constant
+    size). Code choice per subspace: min quantized distance, ties to the
+    smaller code."""
+    m = len(codebooks)
+    d0 = len(codebooks[0][0][1])
+    subspaces = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), s * d0 + 1, d0)
+        ranking = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        _pq_qdist(sub, cvec).alias("q"),
+                        F.lit(code).cast("int").alias("code"),
+                    )
+                    for code, cvec in book
+                ]
+            )
+        )
+        subspaces.append(F.element_at(ranking, 1)["code"])
+    return corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.array(*subspaces).alias("codes"),
+    )
+
+
+def _codebook_tensor(codebooks: list):
+    """(m, k, d0) float64 tensor from ``pq_codebooks`` output."""
+    import numpy as np
+
+    return np.array(
+        [[cvec for _, cvec in book] for book in codebooks], dtype=np.float64
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production PQ encoder: one numpy pass per Arrow batch, plan size
+    constant in the codebook (the round-2 IVF literal-expression lesson,
+    applied from the start). Emits (vec_id, codes array<int>).
+
+    The quantized per-component distance (``_pq_qdist``) is an exact
+    integer, so this path and ``pq_encode_expr`` agree EXACTLY — not
+    just within float noise (pinned by the path-agreement test).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cb = _codebook_tensor(codebooks)  # (m, k, d0)
+    m, _, d0 = cb.shape
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+            )  # (n, dim)
+            xs = x.reshape(len(x), m, 1, d0)  # (n, m, 1, d0)
+            diff = xs - cb[None, :, :, :]  # (n, m, k, d0)
+            q = np.floor(diff * diff * 10000.0 + 0.5).astype(np.int64).sum(-1)
+            codes = np.argmin(q, axis=2).astype(np.int32)  # first-match = min code
+            yield pd.DataFrame(
+                {
+                    "vec_id": batch[id_col].astype("int64"),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        batches, schema="vec_id long, codes array<int>"
+    )
+
+
+def pq_probe_tables(
+    probes: DataFrame,
+    codebooks: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-probe ADC lookup tables: (probe_id, subspace, code, q) — the
+    quantized distance from the probe's subvector to every codebook
+    entry. m × k rows per probe; probe sets are small by definition, so
+    the expression path suffices (it is also the oracle twin)."""
+    m = len(codebooks)
+    d0 = len(codebooks[0][0][1])
+    entries = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), s * d0 + 1, d0)
+        for code, cvec in book:
+            entries.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("subspace"),
+                    F.lit(code).cast("int").alias("code"),
+                    _pq_qdist(sub, cvec).alias("q"),
+                )
+            )
+    return probes.select(
+        F.col(id_col).cast("long").alias("probe_id"),
+        F.explode(F.array(*entries)).alias("t"),
+    ).select("probe_id", "t.subspace", "t.code", "t.q")
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebooks: list,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the scan that reads
+    8-byte codes instead of 256-byte vectors.
+
+    Shape at lake scale: corpus codes explode to ``m`` narrow int rows
+    per vector ONCE; the probe tables (m × k rows per probe) broadcast;
+    the join keys on (subspace, code) and a partial-agg integer sum
+    collapses back to one ADC distance per (probe, vector). The corpus'
+    raw embeddings are never read by the scan — pass ``codes`` (e.g. a
+    persisted ``pq_encode`` table) to skip encoding entirely. Ranking is
+    (adc_x10k ASC, item_id ASC); self-matches are excluded.
+
+    Returns (probe_id, item_id, adc_x10k, rank).
+    """
+    from pyspark.sql.window import Window
+
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
+    m = len(codebooks)
+    exploded = codes.select(
+        F.col("vec_id").alias("item_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    tables = pq_probe_tables(probes, codebooks, vec_col=vec_col, id_col=id_col)
+    adc = (
+        exploded.join(
+            F.broadcast(tables),
+            ["subspace", "code"],
+        )
+        .where(F.col("item_id") != F.col("probe_id"))
+        .groupBy("probe_id", "item_id")
+        .agg(F.sum("q").alias("adc_x10k"), F.count("*").alias("_n"))
+        # A (probe, item) pair survives only with all m subspace terms —
+        # count acts as a correctness tripwire against partial joins.
+        .where(F.col("_n") == m)
+        .drop("_n")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("adc_x10k"), F.asc("item_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "item_id", "adc_x10k", "rank")
+    )

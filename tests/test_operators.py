@@ -389,6 +389,90 @@ def test_embedding_near_dup_threshold(spark):
         assert pairs == {(1, 2): 1.0}, path
 
 
+def test_pq_codebooks_constant_size_and_errors(spark):
+    import pytest
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    def corpus(n):
+        return _emb_df(
+            spark, [(i, [float((i * j) % 5) for j in range(1, 9)]) for i in range(n)]
+        )
+
+    small = pq_codebooks(corpus(100), m=2, target_codes=10)
+    large = pq_codebooks(corpus(400), m=2, target_codes=10)
+    assert len(small) == 2 and len(large) == 2
+    # 4× the rows, same codebook size per subspace: stride scales with N.
+    assert len(small[0]) == len(large[0]) == 10
+    # Codes are dense ranks, subvectors split the dim evenly.
+    assert [c for c, _ in small[0]] == list(range(10))
+    assert all(len(v) == 4 for _, v in small[0])
+
+    with pytest.raises(ValueError):
+        pq_codebooks(corpus(100), m=3)  # dim 8 not divisible
+    with pytest.raises(ValueError):
+        pq_codebooks(corpus(100).where(F.col("vec_id") < 0), stride=1)
+
+
+def test_pq_encode_paths_agree_exactly(spark):
+    import random
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_expr,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = _emb_df(spark, rows)
+    books = pq_codebooks(df, m=2, target_codes=8)
+    arrow = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    expr = {r.vec_id: list(r.codes) for r in pq_encode_expr(df, books).collect()}
+    # EXACT agreement (not within-noise): the per-component x10k
+    # quantization makes both paths sum identical integers.
+    assert arrow == expr and len(arrow) == 60
+
+
+def test_pq_adc_topk_is_exact_when_corpus_is_the_codebook(spark):
+    import math
+    import random
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    df = _emb_df(spark, rows)
+    # stride=1 samples EVERY vector: each vector quantizes to itself, so
+    # ADC distance == the exact quantized L2 distance — the top-k must
+    # equal brute force.
+    books = pq_codebooks(df, m=2, stride=1)
+
+    vals = {r.vec_id: [float(x) for x in r.embedding] for r in df.collect()}
+
+    def qdist(a, b):
+        return sum(
+            math.floor((x - c) * (x - c) * 10000.0 + 0.5) for x, c in zip(a, b)
+        )
+
+    out = pq_adc_topk(df, df.where(F.col("vec_id") < 2), books, k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.probe_id, []).append((r.rank, r.item_id, r.adc_x10k))
+    for pid in (0, 1):
+        expected = sorted(
+            (qdist(vals[pid], v), i) for i, v in vals.items() if i != pid
+        )[:3]
+        assert sorted(got[pid]) == [
+            (rk, i, d) for rk, (d, i) in enumerate(expected, start=1)
+        ]
+
+
 def test_lsh_banded_signatures_arrow_matches_expression_path(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
         lsh_banded_signatures,
