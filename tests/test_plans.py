@@ -268,6 +268,40 @@ def test_decontaminate_join_path_single_scan_on_hashes(spark):
     assert "size(CASE WHEN" not in plan
 
 
+def test_pq_adc_scan_reads_codes_not_vectors(spark, tmp_path):
+    """The whole point of PQ: with a persisted codes table, the ADC scan
+    must never re-read or re-encode the corpus vectors — the plan reads
+    the codes parquet plus the (small) probe side only, joins the probe
+    tables by BROADCAST, and the per-(probe, item) distance sum gets a
+    map-side partial aggregate."""
+    import re
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = S.pq_codebooks(emb, target_codes=16)
+    codes_path = str(tmp_path / "pq_codes")
+    S.pq_encode(emb, books).write.parquet(codes_path)
+
+    probes = emb.where(F.col("vec_id") < 10)
+    out = S.pq_adc_topk(
+        emb, probes, books, k=5, codes=spark.read.parquet(codes_path)
+    )
+    plan = plan_of(out)
+    # Two scans: the codes table + the probe rows. The corpus embedding
+    # parquet must NOT be scanned a second time for the ADC side.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "MapInPandas" not in plan  # no re-encode when codes are given
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # probe tables broadcast
+    assert "partial_sum" in plan  # ADC sum combines map-side
+    # Correctness of the persisted path: identical to the live encode.
+    live = S.pq_adc_topk(emb, probes, books, k=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, live.collect()))
+
+
 def test_line_dedup_keeper_is_partial_aggregate_not_window(spark):
     """The keeper decision must be a map-side-combinable partial aggregate
     (min(struct(doc_id, line_idx)) grouped on the line hash), NOT a
