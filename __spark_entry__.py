@@ -721,6 +721,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_mix_stats"] = source_mix_stats
 
+    def temperature_mix(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+            curation as C,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        return C.temperature_mix_plan(docs, token_budget=100_000, temperature=0.5)
+
+    q["temperature_mix"] = temperature_mix
+
     def quality_filter_funnel(spark, sf_dir):
         from ebook_conversion_to_text_for_machine_learning_spark.operators import (
             curation as C,
@@ -1807,6 +1817,22 @@ SELECT source, n_docs, n_tokens, mean_quality_x10k, n_unique,
   CAST(CASE WHEN total_tokens > 0 THEN (n_tokens * 10000) // total_tokens
        ELSE 0 END AS BIGINT) AS token_share_x10k
 FROM a CROSS JOIN tot"""
+
+    # weight = floor(sqrt(n_tokens)): sqrt is IEEE-correctly-rounded in both
+    # engines, so the integer weights (and everything downstream, all
+    # integer division) match exactly.
+    o["temperature_mix"] = f"""
+WITH t AS (SELECT source, CAST(len({tokens}) AS BIGINT) AS n FROM documents),
+a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+w AS (SELECT source, n_tokens, CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS weight FROM a),
+tot AS (SELECT sum(weight) AS tw FROM w),
+p AS (SELECT source, n_tokens, weight,
+        CAST(CASE WHEN tw > 0 THEN (100000 * weight) // tw ELSE 0 END AS BIGINT) AS target_tokens
+      FROM w CROSS JOIN tot)
+SELECT source, n_tokens, weight, target_tokens,
+  CAST(CASE WHEN n_tokens > 0 THEN least(10000, (target_tokens * 10000) // n_tokens) ELSE 0 END AS BIGINT) AS sample_rate_x10k,
+  CAST(CASE WHEN n_tokens > 0 THEN (target_tokens * 10000) // n_tokens ELSE 0 END AS BIGINT) AS epochs_x10k
+FROM p"""
 
     # Funnel stages mirror the Spark query cumulatively; n>=40 subsumes the
     # Spark side's n>0 quality-guard, so the conditions are identical.

@@ -88,6 +88,7 @@ def main() -> None:
         "corpus_stats",
         "source_mix_stats",
         "quality_filter_funnel",
+        "temperature_mix",
         "line_dedup",
         "repeated_passages",
         "decontaminate",

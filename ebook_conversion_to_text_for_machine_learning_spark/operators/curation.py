@@ -253,6 +253,81 @@ def pack_sequences(
     )
 
 
+#: Temperatures supported by ``temperature_mix_plan``. Restricted to
+#: powers of 1/2 so the weight is computed by REPEATED ``sqrt`` — IEEE
+#: requires sqrt to be correctly rounded, so Spark and any SQL engine
+#: produce bit-identical weights; a general ``pow(x, t)`` is not
+#: correctly rounded and its last-ulp slack would flip ``floor`` exactly
+#: when n_tokens^t lands on an integer (perfect squares — common).
+_MIX_TEMPERATURES = (1.0, 0.5, 0.25)
+
+
+def temperature_mix_plan(
+    df: DataFrame,
+    *,
+    token_budget: int,
+    temperature: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sampling plan under temperature reweighting — the
+    standard multi-source LLM mix rule (weight ∝ n_tokens^T, T < 1
+    upsamples small sources), turned into actionable integer targets.
+
+    For each source: ``weight = floor(n_tokens^T)`` (exact-integer via
+    repeated sqrt, see ``_MIX_TEMPERATURES``), ``target_tokens =
+    token_budget · weight ÷ Σweight`` (integer division), the capped
+    ``sample_rate_x10k`` for sources with surplus data, and
+    ``epochs_x10k`` (> 10000 means the source repeats — the quantity a
+    mix review reads to spot over-epoching of small sources).
+
+    Scale shape: ONE partial-agg scan to per-source token counts (key
+    space = the source list), a broadcast one-row total, integer
+    arithmetic throughout — exact in any engine, no float summation
+    anywhere.
+    """
+    if temperature not in _MIX_TEMPERATURES:
+        raise ValueError(
+            f"temperature_mix_plan: temperature must be one of "
+            f"{_MIX_TEMPERATURES} (repeated-sqrt exactness), got {temperature}"
+        )
+    toks = tokens_col(F.col(text_col))
+    per_source = (
+        df.select(F.col(source_col).alias("source"), F.size(toks).cast("long").alias("_n"))
+        .groupBy("source")
+        .agg(F.sum("_n").alias("n_tokens"))
+    )
+    w = F.col("n_tokens").cast("double")
+    t = temperature
+    while t < 1.0:
+        w = F.sqrt(w)
+        t *= 2.0
+    weighted = per_source.select(
+        "source", "n_tokens", F.floor(w).cast("long").alias("weight")
+    )
+    total = weighted.agg(F.sum("weight").alias("_tw"))
+    budget = int(token_budget)
+    return weighted.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        "weight",
+        F.expr(
+            f"CASE WHEN _tw > 0 THEN ({budget} * weight) div _tw "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("target_tokens"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0 AND _tw > 0 THEN "
+            f"least(CAST(10000 AS BIGINT), ((({budget} * weight) div _tw) * 10000) div n_tokens) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("sample_rate_x10k"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0 AND _tw > 0 THEN "
+            f"((({budget} * weight) div _tw) * 10000) div n_tokens "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("epochs_x10k"),
+    )
+
+
 def filter_funnel(
     df: DataFrame, stages: "list[tuple[str, Column]]"
 ) -> DataFrame:

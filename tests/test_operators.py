@@ -1197,6 +1197,42 @@ def test_decontaminate_flags_eval_overlap(spark):
     }
 
 
+def test_temperature_mix_plan_upsamples_small_sources(spark):
+    import math
+
+    import pytest
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        temperature_mix_plan,
+    )
+
+    # big: 4 docs × 8 tokens = 32; small: 1 doc × 2 tokens = 2.
+    rows = [(i, "big", "a b c d e f g h") for i in range(4)] + [(9, "small", "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = {r.source: r for r in temperature_mix_plan(df, token_budget=20).collect()}
+    assert plan["big"].n_tokens == 32 and plan["small"].n_tokens == 2
+    assert plan["big"].weight == math.floor(math.sqrt(32.0))
+    tw = plan["big"].weight + plan["small"].weight
+    assert plan["big"].target_tokens == 20 * plan["big"].weight // tw
+    # T=0.5 gives the small source a larger share than its token share...
+    assert (
+        plan["small"].target_tokens / 20
+        > plan["small"].n_tokens / (plan["small"].n_tokens + plan["big"].n_tokens)
+    )
+    # ...which over-epochs it (epochs > 1) while the big source undersamples.
+    assert plan["small"].epochs_x10k > 10000
+    assert plan["small"].sample_rate_x10k == 10000  # capped
+    assert plan["big"].sample_rate_x10k < 10000
+    # T=1.0 is proportional: target shares == token shares (up to int div).
+    flat = {
+        r.source: r for r in temperature_mix_plan(df, token_budget=100, temperature=1.0).collect()
+    }
+    assert flat["big"].weight == 32 and flat["small"].weight == 2
+
+    with pytest.raises(ValueError):
+        temperature_mix_plan(df, token_budget=100, temperature=0.7)
+
+
 def test_filter_funnel_attributes_drops_to_first_failing_stage(spark):
     from pyspark.sql import functions as F
 
