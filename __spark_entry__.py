@@ -1109,6 +1109,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_ann_topk"] = pq_ann_topk
 
+    def pq_rerank_topk(spark, sf_dir):
+        emb, books = _pq_books(spark, sf_dir)
+        probes = emb.where(F.col("vec_id") < 10)
+        out = S.pq_adc_rerank_topk(emb, probes, books, k=5, shortlist=25)
+        return out.select(
+            "probe_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+
+    q["pq_rerank_topk"] = pq_rerank_topk
+
     def embedding_near_dup(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
         # 0.25 / 8-plane bands are tuned to the synthetic corpus (no true
@@ -2133,6 +2143,29 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc_x10k, item_id) AS rnk
   FROM adc)
 SELECT probe_id, item_id, adc_x10k, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
+
+    o["pq_rerank_topk"] = f"""
+WITH {_sql_pq_ctes()},
+pt AS (SELECT vec_id AS probe_id, s, code, q FROM d WHERE vec_id < 10),
+adc AS (
+  SELECT pt.probe_id, c.vec_id AS item_id, CAST(sum(pt.q) AS BIGINT) AS adc_x10k
+  FROM codes c JOIN pt ON pt.s = c.s AND pt.code = c.code
+  WHERE c.vec_id != pt.probe_id
+  GROUP BY pt.probe_id, c.vec_id),
+sl AS (
+  SELECT probe_id, item_id FROM (
+    SELECT probe_id, item_id, row_number() OVER (PARTITION BY probe_id ORDER BY adc_x10k, item_id) AS rnk
+    FROM adc) WHERE rnk <= 25),
+pairs AS (
+  SELECT sl.probe_id, sl.item_id,
+         {_SQL_COSINE.format(p="pe.embedding", c="ce.embedding")} AS cosine
+  FROM sl
+  JOIN embeddings pe ON pe.vec_id = sl.probe_id
+  JOIN embeddings ce ON ce.vec_id = sl.item_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, item_id) AS rnk
+  FROM pairs)
+SELECT probe_id, item_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
 
     o["lsh_signatures"] = f"""
 SELECT vec_id, {_sql_lsh_bucket("embedding")} AS bucket FROM embeddings"""

@@ -103,6 +103,7 @@ def main() -> None:
         "ivf_kmeans_cells",
         "pq_codes",
         "pq_ann_topk",
+        "pq_rerank_topk",
         "embedding_near_dup",
         "semantic_dedup",
         "semantic_dedup_kmeans",

@@ -1124,6 +1124,122 @@ def pq_codebooks(
     ]
 
 
+def pq_kmeans_codebooks(
+    corpus: DataFrame,
+    *,
+    iters: int = 2,
+    m: int = PQ_M,
+    target_codes: int = PQ_TARGET_CODES,
+    stride: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Per-subspace Lloyd training of the PQ codebooks — the actual PQ
+    recipe (Jégou et al.: k-means per subquantizer), with the same
+    bounded contract as ``pq_codebooks`` (same nested list shape, so it
+    drops into encode/ADC unchanged).
+
+    Honest measurement (2000-vector planted corpus, m=8/64 codes):
+    training does NOT lift top-5 recall here — raw-ADC recall@5 stays
+    ~0.5 either way, because the planted clusters are so tight that
+    same-cluster members quantize to identical codes and no codebook can
+    order them. The dial that fixes that is RE-RANKING
+    (``pq_adc_rerank_topk``: the true top-5 sits inside the ADC top-25
+    with recall 1.0). Lloyd training is what reduces quantization
+    distortion when the data is spread (real text embeddings), and is
+    kept as the standard offline-training step with the same
+    determinism/oracle contract as ``ivf_kmeans_centroids``.
+
+    Cost per iteration: ONE corpus pass. A fused Arrow stage encodes the
+    batch against all m codebooks (the ``pq_encode`` reshape) and, in
+    the same numpy batch, accumulates per-(subspace, code) sums of the
+    RAW subvectors — at most m × k × d0 tiny partial-sum rows leave each
+    task. A partial-agg groupBy reduces to means; a bounded collect
+    rebuilds the list. No corpus shuffle, plan constant in the codebook.
+
+    Determinism rules (same as ``ivf_kmeans_centroids``): assignment
+    uses the exact-integer quantized distance (min-code tie-break),
+    means are rounded to 6 decimals per iteration, and a code that
+    captures no members keeps its previous entry so code ids are stable
+    across refinement.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    books = pq_codebooks(
+        corpus, m=m, target_codes=target_codes, stride=stride,
+        vec_col=vec_col, id_col=id_col,
+    )
+    d0 = len(books[0][0][1])
+    src = corpus.select(vec_col)
+    for _ in range(max(0, iters)):
+        cb = _codebook_tensor(books)  # (m, k, d0)
+        k = cb.shape[1]
+
+        def batches(
+            it: Iterator[pd.DataFrame], _cb=cb, _k=k
+        ) -> Iterator[pd.DataFrame]:
+            for batch in it:
+                if not len(batch):
+                    continue
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+                )
+                xs = x.reshape(len(x), m, 1, d0)
+                diff = xs - _cb[None, :, :, :]
+                q = np.floor(diff * diff * 10000.0 + 0.5).astype(np.int64).sum(-1)
+                codes = np.argmin(q, axis=2)  # (n, m)
+                sub = x.reshape(len(x), m, d0)
+                frames = []
+                for s in range(m):
+                    acc = np.zeros((_k, d0))
+                    np.add.at(acc, codes[:, s], sub[:, s, :])
+                    cnt = np.bincount(codes[:, s], minlength=_k)
+                    nz = np.flatnonzero(cnt)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "subspace": np.full(nz.size * d0, s, dtype=np.int32),
+                                "code": np.repeat(nz, d0).astype("int32"),
+                                "pos": np.tile(np.arange(d0, dtype=np.int32), nz.size),
+                                "psum": acc[nz].ravel(),
+                                "pcnt": np.repeat(cnt[nz], d0).astype("int64"),
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        means = (
+            src.mapInPandas(
+                batches,
+                schema="subspace int, code int, pos int, psum double, pcnt long",
+            )
+            .groupBy("subspace", "code", "pos")
+            .agg(F.round(F.sum("psum") / F.sum("pcnt"), 6).alias("mval"))
+            .collect()
+        )
+        by: dict = {}
+        for r in means:
+            by.setdefault((int(r.subspace), int(r.code)), {})[int(r.pos)] = float(
+                r.mval
+            )
+        books = [
+            [
+                (
+                    code,
+                    [by[(s, code)][p] for p in range(d0)]
+                    if (s, code) in by
+                    else old,
+                )
+                for code, old in book
+            ]
+            for s, book in enumerate(books)
+        ]
+    return books
+
+
 def _pq_qdist(sub: Column, centroid: list) -> Column:
     """Quantized squared L2 distance between a subvector column and a
     codebook entry: ``Σ_i floor((x_i − c_i)² · 10⁴ + 0.5)`` as BIGINT.
@@ -1321,4 +1437,62 @@ def pq_adc_topk(
         adc.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("probe_id", "item_id", "adc_x10k", "rank")
+    )
+
+
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebooks: list,
+    *,
+    k: int = 5,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC shortlist → exact cosine re-rank: the production PQ search
+    architecture (Jégou et al.'s IVFADC+R). Raw ADC cannot order
+    near-identical neighbors that quantize to the same codes — measured
+    on the planted corpus: recall@5 is 0.54 straight from ADC but the
+    TRUE top-5 sits inside the ADC top-25 with recall 1.0 — so the scan
+    over-fetches ``shortlist`` (default 5·k) candidates from the code
+    table and re-ranks only those with exact cosine.
+
+    Scale shape: the corpus-wide pass stays on 8-byte codes
+    (``pq_adc_topk``); exact distances touch |probes| × shortlist
+    vectors, fetched with a broadcast semi-join on the candidate ids —
+    the raw-vector table is scanned (column-pruned) but never shuffled
+    and never crossed with the full probe set.
+
+    Returns (probe_id, item_id, cosine, rank) — same contract as
+    ``cosine_topk``, ranking (round(cos,4) DESC, item_id ASC).
+    """
+    from pyspark.sql.window import Window
+
+    r = shortlist if shortlist is not None else 5 * k
+    sl = pq_adc_topk(
+        corpus, probes, codebooks, k=r, vec_col=vec_col, id_col=id_col, codes=codes
+    ).select("probe_id", "item_id")
+    cand_vecs = corpus.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec")
+    ).join(F.broadcast(sl.select("item_id").distinct()), "item_id", "left_semi")
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    cosine = F.round(
+        _dot(F.col("probe_vec"), F.col("item_vec"))
+        / (_norm(F.col("probe_vec")) * _norm(F.col("item_vec"))),
+        4,
+    )
+    scored = (
+        cand_vecs.join(F.broadcast(sl), "item_id")
+        .join(F.broadcast(p), "probe_id")
+        .select("probe_id", "item_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "item_id", "cosine", "rank")
     )

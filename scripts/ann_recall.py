@@ -148,6 +148,23 @@ def main() -> None:
             f"planted lsh bands={n_bands:<3} planes={planes:<3} "
             f"recall@5={r:<6} {time.time() - t0:.1f}s"
         )
+    # PQ: raw ADC vs shortlist→exact-re-rank. Raw ADC recall is bounded
+    # by quantization (tight planted clusters collapse to shared codes);
+    # re-ranking the ADC top-R with exact cosine is the production
+    # architecture (IVFADC+R) and the number that matters.
+    pbooks = S.pq_codebooks(planted, m=8, target_codes=256)
+    for label, fn in (
+        ("adc-raw", lambda: S.pq_adc_topk(planted, pprobes, pbooks, k=5)),
+        (
+            "adc+rerank R=25",
+            lambda: S.pq_adc_rerank_topk(
+                planted, pprobes, pbooks, k=5, shortlist=25
+            ),
+        ),
+    ):
+        t0 = time.time()
+        r = precall(fn())
+        print(f"planted pq m=8 codes=256 {label:<16} recall@5={r:<6} {time.time() - t0:.1f}s")
     spark.stop()
 
 

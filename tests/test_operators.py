@@ -877,7 +877,49 @@ def test_ann_recall_on_planted_neighbors(spark):
     assert refined >= low, (refined, low)
     assert refined >= 0.9, refined
     assert recall(lsh_ann_topk(emb, probes, 16, k=5, n_bands=8, band_planes=8)) >= 0.9
+
+    # PQ: raw ADC cannot order near-identical cluster members (they
+    # quantize to the same codes — measured 0.54 here), but the true
+    # top-5 sits inside the ADC top-25; the re-rank architecture must
+    # recover it (measured 1.0).
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(emb, m=8, target_codes=64)
+    raw = recall(pq_adc_topk(emb, probes, books, k=5))
+    reranked = recall(pq_adc_rerank_topk(emb, probes, books, k=5, shortlist=25))
+    assert reranked >= 0.9, reranked
+    assert reranked >= raw
     emb.unpersist()
+
+
+def test_pq_kmeans_codebooks_invariants(spark):
+    """Lloyd training must keep the codebook contract: same nested
+    shape, stable dense code ids (downstream code tables survive a
+    retrain), refined entries actually move toward the data, and a code
+    that captures nothing keeps its previous entry."""
+    import random
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        pq_codebooks,
+        pq_kmeans_codebooks,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = _emb_df(spark, rows)
+    init = pq_codebooks(df, m=2, target_codes=8)
+    trained = pq_kmeans_codebooks(df, iters=2, m=2, target_codes=8)
+    assert len(trained) == len(init) == 2
+    for b0, b1 in zip(init, trained):
+        assert [c for c, _ in b1] == [c for c, _ in b0]  # ids stable
+        assert all(len(v) == 4 for _, v in b1)
+    assert trained != init  # something moved
+    # iters=0 is the identity.
+    assert pq_kmeans_codebooks(df, iters=0, m=2, target_codes=8) == init
 
 
 def test_semantic_dedup_hand_built_exact(spark):
