@@ -1291,6 +1291,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionization"] = sessionization
 
+    def event_funnel(spark, sf_dir):
+        # Ordered-sequence conversion funnel (view → click → purchase):
+        # a user reaches step i+1 only with an event of that type STRICTLY
+        # after their earliest qualifying time for step i. Each step is a
+        # narrow (user_id, min-ts) partial aggregate joined to the next
+        # step's filtered scan — no per-user event arrays, no windows, so
+        # a power user with 10^6 events costs the same shuffle bytes as
+        # anyone else. The final per-step counters collapse to one row
+        # (single-partition exchange of 3 longs) and explode to the
+        # funnel table, exactly like curation.filter_funnel.
+        events = read_table(spark, sf_dir, "events")
+        e = events.select(
+            "user_id", "event_type", F.unix_timestamp(F.col("ts")).alias("tsec")
+        )
+        steps = ["view", "click", "purchase"]
+        reached = e.where(F.col("event_type") == steps[0]).groupBy("user_id").agg(
+            F.min("tsec").alias("t")
+        )
+        counters = reached.agg(F.count("*").cast("long").alias("_c1"))
+        for i, step in enumerate(steps[1:], start=2):
+            nxt = (
+                e.where(F.col("event_type") == step)
+                .join(reached.select("user_id", F.col("t").alias("_prev_t")), "user_id")
+                .where(F.col("tsec") > F.col("_prev_t"))
+                .groupBy("user_id")
+                .agg(F.min("tsec").alias("t"))
+            )
+            counters = counters.crossJoin(
+                nxt.agg(F.count("*").cast("long").alias(f"_c{i}"))
+            )
+            reached = nxt
+        rows = []
+        for i, step in enumerate(steps, start=1):
+            conv = (
+                F.lit(10000).cast("long")
+                if i == 1
+                else F.expr(
+                    f"CASE WHEN _c{i - 1} > 0 THEN (_c{i} * 10000) div _c{i - 1} "
+                    "ELSE CAST(0 AS BIGINT) END"
+                )
+            )
+            rows.append(
+                F.struct(
+                    F.lit(i).cast("int").alias("step_idx"),
+                    F.lit(step).alias("step"),
+                    F.col(f"_c{i}").alias("n_users"),
+                    conv.alias("conv_from_prev_x10k"),
+                )
+            )
+        return counters.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+    q["event_funnel"] = event_funnel
+
     def asof_latest_order(spark, sf_dir):
         events = read_table(spark, sf_dir, "events")
         orders = read_table(spark, sf_dir, "orders")
@@ -2406,6 +2459,20 @@ c AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
 SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        CAST(count(*) AS BIGINT) AS n_events, MIN(tsec) AS first_ts
 FROM c GROUP BY user_id, session_idx"""
+
+    o["event_funnel"] = """
+WITH e AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS tsec FROM events),
+s1 AS (SELECT user_id, min(tsec) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.tsec) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.tsec > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.tsec) AS t FROM e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.tsec > s2.t GROUP BY e.user_id),
+c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS c1,
+             (SELECT CAST(count(*) AS BIGINT) FROM s2) AS c2,
+             (SELECT CAST(count(*) AS BIGINT) FROM s3) AS c3)
+SELECT CAST(1 AS INT) AS step_idx, 'view' AS step, c1 AS n_users, CAST(10000 AS BIGINT) AS conv_from_prev_x10k FROM c
+UNION ALL SELECT 2, 'click', c2, CAST(CASE WHEN c1 > 0 THEN (c2 * 10000) // c1 ELSE 0 END AS BIGINT) FROM c
+UNION ALL SELECT 3, 'purchase', c3, CAST(CASE WHEN c2 > 0 THEN (c3 * 10000) // c2 ELSE 0 END AS BIGINT) FROM c"""
 
     o["asof_latest_order"] = """
 WITH e AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS tsec FROM events),

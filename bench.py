@@ -113,6 +113,7 @@ def main() -> None:
         "transcript_enrichment",
         "extract_pdf_files",
         "extract_ebook_files",
+        "event_funnel",
         "pricing_summary",
         "nation_revenue",
         "events_hourly",
