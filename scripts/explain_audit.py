@@ -121,11 +121,45 @@ def main() -> None:
         "hash partitioning of the corpus anywhere.",
     )
     add(
-        "Line-level dedup (window keeper + reassembly)",
+        "Line-level dedup (partial-aggregate keeper + reassembly)",
         queries["line_dedup"](spark, sf_dir),
-        "Exactly two data shuffles: row_number window keyed on md5(line) "
-        "picks the global first occurrence; groupBy(doc_id) rebuilds each "
-        "document from its surviving lines.",
+        "The keeper decision is a map-side-combinable min(struct(doc_id, "
+        "line_idx)) aggregate keyed on md5(line) — immune to blank-line "
+        "skew (a window would funnel every corpus-wide occurrence through "
+        "one reducer); a join-back flags occurrences and groupBy(doc_id) "
+        "rebuilds each document from its surviving lines.",
+    )
+    add(
+        "Repeated passages (token-window explode → one aggregate)",
+        queries["repeated_passages"](spark, sf_dir),
+        "Token-aligned width-8 windows hash to narrow (doc_id, md5) rows "
+        "in the Generate; ONE two-phase distinct-aggregate (partial "
+        "map-side sets) groups them corpus-wide — no joins, no windows.",
+    )
+    add(
+        "Quality filter funnel (one scan, one single-row exchange)",
+        queries["quality_filter_funnel"](spark, sf_dir),
+        "Cumulative-survival booleans evaluate per row in a partial "
+        "HashAggregate; the Exchange moves ONE row of five counters; the "
+        "per-stage table explodes from that row at constant cost.",
+    )
+    add(
+        "PQ ADC top-k (codes explode → broadcast tables → integer sum)",
+        queries["pq_ann_topk"](spark, sf_dir),
+        "MapInPandas encodes each Arrow batch against the broadcast-size "
+        "codebook; codes posexplode to m narrow int rows; the probe "
+        "distance tables join by BroadcastHashJoin; the ADC sum is a "
+        "partial aggregate and the top-k uses WindowGroupLimit (map-side "
+        "rank pruning before the exchange). Raw embeddings never enter "
+        "the scan when a persisted codes table is passed "
+        "(tests/test_plans.py::test_pq_adc_scan_reads_codes_not_vectors).",
+    )
+    add(
+        "Event funnel (chained strictly-after min-aggregates)",
+        queries["event_funnel"](spark, sf_dir),
+        "Each step is a narrow (user_id, min-ts) partial aggregate joined "
+        "to the next step's filtered scan — no per-user event arrays, no "
+        "windows; the per-step counters collapse to one row and explode.",
     )
     add(
         "Training mix (two text-carrying shuffles end-to-end)",
