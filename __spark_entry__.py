@@ -786,6 +786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repeated_passages"] = repeated_passages
 
+    def gram_novelty(spark, sf_dir):
+        return D.gram_novelty(read_table(spark, sf_dir, "documents"), n=3)
+
+    q["gram_novelty"] = gram_novelty
+
     def decontaminate(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
         eval_df = docs.where(F.col("doc_id") % 97 == 0)
@@ -1987,6 +1992,26 @@ SELECT passage_hash,
   CAST(count(*) AS BIGINT) AS n_occurrences,
   min(doc_id) AS first_doc
 FROM w GROUP BY passage_hash HAVING count(DISTINCT doc_id) >= 2"""
+
+    o["gram_novelty"] = f"""
+WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          list_distinct(list_transform(range(1, len(toks) - 1),
+                                       i -> array_to_string(toks[i:i+2], ' ')))
+        ELSE [] END AS grams
+      FROM t),
+x AS (SELECT doc_id, md5(unnest(grams)) AS gram_hash FROM g),
+fo AS (SELECT gram_hash, min(doc_id) AS first_doc FROM x GROUP BY gram_hash),
+agg AS (SELECT x.doc_id,
+          CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN x.doc_id = fo.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM x JOIN fo USING (gram_hash) GROUP BY x.doc_id)
+SELECT g.doc_id,
+  coalesce(n_grams, 0) AS n_grams,
+  coalesce(n_novel, 0) AS n_novel,
+  CAST(CASE WHEN coalesce(n_grams, 0) > 0 THEN (n_novel * 10000) // n_grams ELSE 0 END AS BIGINT) AS novelty_x10k
+FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id"""
 
     o["decontaminate"] = f"""
 WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),

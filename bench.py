@@ -91,6 +91,7 @@ def main() -> None:
         "temperature_mix",
         "line_dedup",
         "repeated_passages",
+        "gram_novelty",
         "decontaminate",
         "decontaminate_join",
         "language_id",

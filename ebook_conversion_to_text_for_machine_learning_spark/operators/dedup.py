@@ -568,6 +568,54 @@ def line_dedup(df: DataFrame, text_col: str = "text", delim: str = "\n") -> Data
     )
 
 
+def gram_novelty(df: DataFrame, *, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct word
+    ``n``-gram shingles whose FIRST corpus occurrence (by ascending
+    doc_id) is this document — the diversity/data-valuation signal a
+    curation pass ranks on (a document whose every shingle already
+    appeared earlier adds nothing even if it is not an exact or near
+    duplicate of any single document).
+
+    Scale shape (same skew-immune pattern as ``line_dedup``): shingles
+    explode ONCE to narrow ``(doc_id, md5(gram))`` rows; the first-owner
+    decision is ``groupBy(gram_hash).agg(min(doc_id))`` — a partial
+    aggregate, map-side combinable, so a boilerplate shingle occurring
+    billions of times collapses inside each task — and the join-back
+    keys on the same hash, AQE-splittable. One final per-doc aggregate
+    recovers both counts (row count == distinct-gram count, so the
+    corpus is tokenized exactly once; the size-next-to-explode trap is
+    documented in ``decontaminate``).
+
+    Returns (doc_id, n_grams, n_novel, novelty_x10k) for every document;
+    gram-less docs (< ``n`` tokens) report 0/0/0.
+    """
+    exploded = df.select(
+        "doc_id", F.explode_outer(shingles_col(F.col(text_col), n)).alias("_g")
+    ).select("doc_id", F.md5("_g").alias("gram_hash"))
+    first_owner = (
+        exploded.where(F.col("gram_hash").isNotNull())
+        .groupBy("gram_hash")
+        .agg(F.min("doc_id").alias("_first_doc"))
+    )
+    flagged = exploded.join(first_owner, "gram_hash", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("gram_hash").cast("long").alias("n_grams"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("_first_doc"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_novel"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr(
+            "CASE WHEN n_grams > 0 THEN (n_novel * 10000) div n_grams "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("novelty_x10k"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

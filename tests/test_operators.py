@@ -1181,6 +1181,27 @@ def test_line_dedup_keeps_first_occurrence_and_reassembles(spark):
     assert (rows[3].n_lines, rows[3].n_kept) == (1, 0)
 
 
+def test_gram_novelty_first_owner_by_doc_id(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        gram_novelty,
+    )
+
+    df = _docs_df(
+        spark,
+        [
+            (1, "en", "a b c d"),  # grams: "a b c", "b c d" — both novel
+            (2, "en", "a b c x"),  # "a b c" owned by doc 1, "b c x" novel
+            (3, "en", "a b c d"),  # exact repeat of doc 1 → nothing novel
+            (4, "en", "too short"),  # < 3 tokens → no grams
+        ],
+    )
+    rows = {r.doc_id: r for r in gram_novelty(df, n=3).collect()}
+    assert (rows[1].n_grams, rows[1].n_novel, rows[1].novelty_x10k) == (2, 2, 10000)
+    assert (rows[2].n_grams, rows[2].n_novel, rows[2].novelty_x10k) == (2, 1, 5000)
+    assert (rows[3].n_grams, rows[3].n_novel, rows[3].novelty_x10k) == (2, 0, 0)
+    assert (rows[4].n_grams, rows[4].n_novel, rows[4].novelty_x10k) == (0, 0, 0)
+
+
 def test_repeated_passages_finds_cross_doc_windows(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
         repeated_passages,
