@@ -268,6 +268,30 @@ def test_decontaminate_join_path_single_scan_on_hashes(spark):
     assert "size(CASE WHEN" not in plan
 
 
+def test_repeated_passages_is_one_aggregate_no_window(spark):
+    """Corpus-wide passage grouping must be a hash aggregate over the
+    exploded narrow (doc_id, md5) rows — map-side combinable — never a
+    window, never Python; at most the two exchanges Spark's two-phase
+    distinct-count plans."""
+    plan = plan_of(entrymod.queries()["repeated_passages"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 2
+
+
+def test_filter_funnel_single_scan_single_row_exchange(spark):
+    """The funnel is ONE corpus scan collapsing to one counter row: the
+    only exchange is the SinglePartition merge of that row, and the scan
+    reads just the columns the stage predicates touch."""
+    import re
+
+    plan = plan_of(entrymod.queries()["quality_filter_funnel"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("Arguments: SinglePartition") == 1
+    assert "Arguments: hashpartitioning" not in plan
+    assert "ReadSchema: struct<text:string,lang:string>" in plan
+
+
 def test_pq_adc_scan_reads_codes_not_vectors(spark, tmp_path):
     """The whole point of PQ: with a persisted codes table, the ADC scan
     must never re-read or re-encode the corpus vectors — the plan reads
