@@ -1496,3 +1496,61 @@ def pq_adc_rerank_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "item_id", "cosine", "rank")
     )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    m: int = PQ_M,
+    target_codes: int = PQ_TARGET_CODES,
+    stride: int | None = None,
+    kmeans_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist a PQ index: ``codebooks/`` (one (subspace, code, cvec) row
+    per entry — m × k rows, broadcast-trivial) and ``codes/`` (the
+    ``pq_encode`` table, the only corpus-size artifact: m small ints per
+    vector instead of dim floats). Overwrite-idempotent, same contract as
+    ``write_ann_index``/``write_minhash_index``; repeated probe batches
+    then run ``pq_adc_topk``/``pq_adc_rerank_topk`` with ``codes=`` and
+    never re-encode (or, for raw ADC, even re-read) the corpus.
+    ``kmeans_iters > 0`` Lloyd-trains the codebooks before encoding."""
+    base = path.rstrip("/")
+    if kmeans_iters > 0:
+        books = pq_kmeans_codebooks(
+            corpus, iters=kmeans_iters, m=m, target_codes=target_codes,
+            stride=stride, vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        books = pq_codebooks(
+            corpus, m=m, target_codes=target_codes, stride=stride,
+            vec_col=vec_col, id_col=id_col,
+        )
+    spark = corpus.sparkSession
+    rows = [
+        (s, code, [float(x) for x in cvec])
+        for s, book in enumerate(books)
+        for code, cvec in book
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, cvec array<double>"
+    ).write.mode("overwrite").parquet(f"{base}/codebooks")
+    pq_encode(corpus, books, vec_col=vec_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/codes")
+
+
+def read_pq_index(spark, path: str) -> tuple:
+    """(codebooks list, codes DataFrame) from ``write_pq_index`` output —
+    the list round-trips exactly (doubles stored losslessly in parquet),
+    so indexed search is bit-identical to the live path."""
+    base = path.rstrip("/")
+    by: dict = {}
+    for r in spark.read.parquet(f"{base}/codebooks").collect():
+        by.setdefault(int(r.subspace), []).append(
+            (int(r.code), [float(x) for x in r.cvec])
+        )
+    books = [sorted(by[s]) for s in sorted(by)]
+    return books, spark.read.parquet(f"{base}/codes")

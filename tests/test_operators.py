@@ -473,6 +473,46 @@ def test_pq_adc_topk_is_exact_when_corpus_is_the_codebook(spark):
         ]
 
 
+def test_pq_index_round_trip_identical_topk(spark, tmp_path):
+    import random
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    df = _emb_df(spark, rows)
+    probes = df.where(F.col("vec_id") < 3)
+    path = str(tmp_path / "pq_index")
+    write_pq_index(df, path, m=2, target_codes=8)
+    books, codes = read_pq_index(spark, path)
+    # The codebook list round-trips exactly...
+    assert books == pq_codebooks(df, m=2, target_codes=8)
+    # ...so indexed search (no re-encode) is bit-identical to live.
+    live = sorted(map(tuple, pq_adc_topk(df, probes, books, k=4).collect()))
+    idx = sorted(
+        map(tuple, pq_adc_topk(df, probes, books, k=4, codes=codes).collect())
+    )
+    assert live == idx
+    rr_live = sorted(
+        map(tuple, pq_adc_rerank_topk(df, probes, books, k=4, shortlist=12).collect())
+    )
+    rr_idx = sorted(
+        map(
+            tuple,
+            pq_adc_rerank_topk(
+                df, probes, books, k=4, shortlist=12, codes=codes
+            ).collect(),
+        )
+    )
+    assert rr_live == rr_idx
+
+
 def test_lsh_banded_signatures_arrow_matches_expression_path(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
         lsh_banded_signatures,
