@@ -1356,6 +1356,63 @@ def pq_encode(
     )
 
 
+def pq_probe_tables_arrow(
+    probes: DataFrame,
+    codebooks: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production path for the per-probe ADC tables: one numpy pass per
+    Arrow batch, plan CONSTANT-size in the codebook. The expression twin
+    (``pq_probe_tables``) inlines one struct per (subspace, code) — at
+    the production 8×256 setting that is thousands of plan nodes and
+    planning dominated wall time 86s vs ~1s (measured, 20k corpus; the
+    same lesson as the round-2 IVF probe-ranking verdict). The quantized
+    distances are exact integers, so the two paths agree EXACTLY (pinned
+    by the path-agreement test)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cb = _codebook_tensor(codebooks)  # (m, k, d0)
+    m, k, d0 = cb.shape
+    for book in codebooks:
+        if [c for c, _ in book] != list(range(k)):
+            raise ValueError(
+                "pq_probe_tables_arrow: codebook codes must be dense ranks "
+                "0..k-1 (pq_codebooks guarantees this)"
+            )
+    id_type = dict(probes.dtypes)[id_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            if not len(batch):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            xs = x.reshape(len(x), m, 1, d0)
+            diff = xs - cb[None, :, :, :]
+            q = np.floor(diff * diff * 10000.0 + 0.5).astype(np.int64).sum(-1)
+            n = len(batch)
+            yield pd.DataFrame(
+                {
+                    "probe_id": batch[id_col].to_numpy().repeat(m * k),
+                    "subspace": np.tile(
+                        np.repeat(np.arange(m, dtype=np.int32), k), n
+                    ),
+                    "code": np.tile(
+                        np.tile(np.arange(k, dtype=np.int32), m), n
+                    ),
+                    "q": q.reshape(n, m * k).ravel(),
+                }
+            )
+
+    return probes.select(id_col, vec_col).mapInPandas(
+        batches, schema=f"probe_id {id_type}, subspace int, code int, q long"
+    )
+
+
 def pq_probe_tables(
     probes: DataFrame,
     codebooks: list,
@@ -1363,10 +1420,9 @@ def pq_probe_tables(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Per-probe ADC lookup tables: (probe_id, subspace, code, q) — the
-    quantized distance from the probe's subvector to every codebook
-    entry. m × k rows per probe; probe sets are small by definition, so
-    the expression path suffices (it is also the oracle twin)."""
+    """Expression twin of ``pq_probe_tables_arrow``: (probe_id, subspace,
+    code, q) built as literal structs — the oracle-parity path, small
+    codebooks only (the plan grows one struct per codebook entry)."""
     m = len(codebooks)
     d0 = len(codebooks[0][0][1])
     entries = []
@@ -1395,6 +1451,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codes: DataFrame | None = None,
+    probe_path: str = "arrow",
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes — the scan that reads
     8-byte codes instead of 256-byte vectors.
@@ -1407,6 +1464,10 @@ def pq_adc_topk(
     persisted ``pq_encode`` table) to skip encoding entirely. Ranking is
     (adc_x10k ASC, item_id ASC); self-matches are excluded.
 
+    ``probe_path="arrow"`` (default) builds the probe tables with a
+    constant-size Arrow kernel; ``"expr"`` is the literal-expression
+    oracle twin (small codebooks only — both emit identical integers).
+
     Returns (probe_id, item_id, adc_x10k, rank).
     """
     from pyspark.sql.window import Window
@@ -1418,7 +1479,8 @@ def pq_adc_topk(
         F.col("vec_id").alias("item_id"),
         F.posexplode("codes").alias("subspace", "code"),
     )
-    tables = pq_probe_tables(probes, codebooks, vec_col=vec_col, id_col=id_col)
+    table_fn = pq_probe_tables_arrow if probe_path == "arrow" else pq_probe_tables
+    tables = table_fn(probes, codebooks, vec_col=vec_col, id_col=id_col)
     adc = (
         exploded.join(
             F.broadcast(tables),
@@ -1450,14 +1512,19 @@ def pq_adc_rerank_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codes: DataFrame | None = None,
+    probe_path: str = "arrow",
 ) -> DataFrame:
     """ADC shortlist → exact cosine re-rank: the production PQ search
     architecture (Jégou et al.'s IVFADC+R). Raw ADC cannot order
-    near-identical neighbors that quantize to the same codes — measured
-    on the planted corpus: recall@5 is 0.54 straight from ADC but the
-    TRUE top-5 sits inside the ADC top-25 with recall 1.0 — so the scan
-    over-fetches ``shortlist`` (default 5·k) candidates from the code
-    table and re-ranks only those with exact cosine.
+    near-identical neighbors that quantize to the same codes, so the
+    scan over-fetches ``shortlist`` candidates from the code table and
+    re-ranks only those with exact cosine. Sizing rule (measured,
+    scripts/ann_recall.py): ``shortlist`` must exceed the expected
+    population of quantization TIES around a probe — on the 20k planted
+    corpus (~40 near-identical vectors per cluster) recall@5 is 0.14
+    raw, 0.74 at R=25, and 1.0 at R=50; on the 2k/16-dim test corpus
+    R=25 already reaches 1.0. The default 5·k is a floor, not a
+    recommendation — size R to the corpus' duplicate density.
 
     Scale shape: the corpus-wide pass stays on 8-byte codes
     (``pq_adc_topk``); exact distances touch |probes| × shortlist
@@ -1472,7 +1539,8 @@ def pq_adc_rerank_topk(
 
     r = shortlist if shortlist is not None else 5 * k
     sl = pq_adc_topk(
-        corpus, probes, codebooks, k=r, vec_col=vec_col, id_col=id_col, codes=codes
+        corpus, probes, codebooks, k=r, vec_col=vec_col, id_col=id_col,
+        codes=codes, probe_path=probe_path,
     ).select("probe_id", "item_id")
     cand_vecs = corpus.select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec")

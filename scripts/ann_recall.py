@@ -152,16 +152,20 @@ def main() -> None:
     # by quantization (tight planted clusters collapse to shared codes);
     # re-ranking the ADC top-R with exact cosine is the production
     # architecture (IVFADC+R) and the number that matters.
+    # The shortlist R must exceed the cluster population (~N/clusters = 40
+    # here): quantized cluster-mates tie, and ADC cannot order ties.
     pbooks = S.pq_codebooks(planted, m=8, target_codes=256)
-    for label, fn in (
-        ("adc-raw", lambda: S.pq_adc_topk(planted, pprobes, pbooks, k=5)),
+    sweeps = [("adc-raw", lambda: S.pq_adc_topk(planted, pprobes, pbooks, k=5))]
+    sweeps += [
         (
-            "adc+rerank R=25",
-            lambda: S.pq_adc_rerank_topk(
-                planted, pprobes, pbooks, k=5, shortlist=25
+            f"adc+rerank R={r_}",
+            lambda r_=r_: S.pq_adc_rerank_topk(
+                planted, pprobes, pbooks, k=5, shortlist=r_
             ),
-        ),
-    ):
+        )
+        for r_ in (25, 50, 100)
+    ]
+    for label, fn in sweeps:
         t0 = time.time()
         r = precall(fn())
         print(f"planted pq m=8 codes=256 {label:<16} recall@5={r:<6} {time.time() - t0:.1f}s")

@@ -436,6 +436,26 @@ def test_pq_encode_paths_agree_exactly(spark):
     assert arrow == expr and len(arrow) == 60
 
 
+def test_pq_probe_tables_paths_agree_exactly(spark):
+    import random
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        pq_codebooks,
+        pq_probe_tables,
+        pq_probe_tables_arrow,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = _emb_df(spark, rows)
+    books = pq_codebooks(df, m=2, target_codes=8)
+    probes = df.where(F.col("vec_id") < 4)
+    expr = sorted(map(tuple, pq_probe_tables(probes, books).collect()))
+    arrow = sorted(map(tuple, pq_probe_tables_arrow(probes, books).collect()))
+    # EXACT equality: both paths emit the same x10k integers.
+    assert expr == arrow and len(arrow) == 4 * 2 * len(books[0])
+
+
 def test_pq_adc_topk_is_exact_when_corpus_is_the_codebook(spark):
     import math
     import random

@@ -317,7 +317,9 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark, tmp_path):
     # Two scans: the codes table + the probe rows. The corpus embedding
     # parquet must NOT be scanned a second time for the ADC side.
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
-    assert "MapInPandas" not in plan  # no re-encode when codes are given
+    # Exactly ONE MapInPandas — the probe-side ADC tables (bounded by the
+    # probe set). A second one would be a corpus re-encode.
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # probe tables broadcast
     assert "partial_sum" in plan  # ADC sum combines map-side
