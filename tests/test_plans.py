@@ -268,6 +268,17 @@ def test_decontaminate_join_path_single_scan_on_hashes(spark):
     assert "size(CASE WHEN" not in plan
 
 
+def test_gram_novelty_first_owner_is_partial_aggregate(spark):
+    """The first-owner decision must be a map-side-combinable min(doc_id)
+    aggregate on the gram hash (line_dedup's skew-immune shape) — never a
+    window — and the corpus is tokenized once (one parquet scan feeds
+    both sides through the exploded rows)."""
+    plan = plan_of(entrymod.queries()["gram_novelty"](spark, SF_DIR))
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_repeated_passages_is_one_aggregate_no_window(spark):
     """Corpus-wide passage grouping must be a hash aggregate over the
     exploded narrow (doc_id, md5) rows — map-side combinable — never a
