@@ -924,6 +924,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_verified_dedup"] = minhash_verified_dedup
 
+    def source_dedup_matrix(spark, sf_dir):
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = minhash_verified_dedup(spark, sf_dir).select("doc_a", "doc_b")
+        return D.source_pair_matrix(docs, pairs)
+
+    q["source_dedup_matrix"] = source_dedup_matrix
+
     _minhash_index_cache: set = set()
 
     def dedup_against_index(spark, sf_dir):
@@ -2064,6 +2071,28 @@ verified AS (
   JOIN grams_t ga ON ga.doc_id = c.doc_a
   JOIN grams_t gb ON gb.doc_id = c.doc_b)
 SELECT * FROM verified WHERE 2 * n_common >= n_union"""
+
+    o["source_dedup_matrix"] = f"""
+WITH {_sql_minhash_sig_cte()},
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+ok AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN grams_t ga ON ga.doc_id = c.doc_a
+  JOIN grams_t gb ON gb.doc_id = c.doc_b
+  WHERE 2 * len(list_intersect(ga.grams, gb.grams))
+        >= len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM ok
+JOIN documents da ON da.doc_id = ok.doc_a
+JOIN documents db ON db.doc_id = ok.doc_b
+GROUP BY 1, 2"""
 
     # Index-vs-batch twin of minhash_verified_dedup: same hash family,
     # same acceptance rule, but candidates pair the % 3 == 0 batch

@@ -70,6 +70,7 @@ def main() -> None:
         "minhash_signatures",
         "minhash_candidates",
         "minhash_verified_dedup",
+        "source_dedup_matrix",
         "dedup_against_index",
         "simhash_signatures",
         "simhash_near_pairs",

@@ -568,6 +568,43 @@ def line_dedup(df: DataFrame, text_col: str = "text", delim: str = "\n") -> Data
     )
 
 
+def source_pair_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    source_col: str = "source",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Cross-source near-duplicate matrix: count verified pairs per
+    UNORDERED source pair — the mixing diagnostic that shows which
+    sources duplicate each other (crawl snapshot vs curated dump overlap
+    decides who gets downweighted; within-source counts sit on the
+    diagonal). Works over any (doc_a, doc_b) pair producer —
+    ``minhash_verified_dedup``'s output, simhash pairs, embedding
+    near-dups.
+
+    Scale shape: two joins keyed on doc ids against a narrow
+    (doc_id, source) projection, then one partial-agg groupBy whose key
+    space is |sources|² — tiny. The pair table is the big side and it
+    arrives already deduplicated; nothing here touches text.
+    """
+    src = docs.select("doc_id", F.col(source_col).alias("_s"))
+    return (
+        pairs.join(
+            src.select(F.col("doc_id").alias(a_col), F.col("_s").alias("_sa")), a_col
+        )
+        .join(
+            src.select(F.col("doc_id").alias(b_col), F.col("_s").alias("_sb")), b_col
+        )
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
 def gram_novelty(df: DataFrame, *, n: int = 3, text_col: str = "text") -> DataFrame:
     """Per-document novelty: the fraction of a document's distinct word
     ``n``-gram shingles whose FIRST corpus occurrence (by ascending

@@ -1241,6 +1241,27 @@ def test_line_dedup_keeps_first_occurrence_and_reassembles(spark):
     assert (rows[3].n_lines, rows[3].n_kept) == (1, 0)
 
 
+def test_source_pair_matrix_unordered_counts(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        source_pair_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "books"), (3, "web"), (4, "books")],
+        "doc_id long, source string",
+    )
+    # (web,books) twice — once in each direction — plus one web diagonal.
+    pairs = spark.createDataFrame(
+        [(1, 2), (4, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    rows = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in source_pair_matrix(docs, pairs).collect()
+    }
+    # Direction never matters: both cross pairs land in one cell.
+    assert rows == {("books", "web"): 2, ("web", "web"): 1}
+
+
 def test_gram_novelty_first_owner_by_doc_id(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
         gram_novelty,
