@@ -1131,6 +1131,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_rerank_topk"] = pq_rerank_topk
 
+    def ivfpq_topk(spark, sf_dir):
+        emb, books = _pq_books(spark, sf_dir)
+        cents = S.ivf_centroids(emb, target_cells=_IVF_TEST_CELLS)
+        probes = emb.where(F.col("vec_id") < 10)
+        out = S.ivfpq_topk(
+            emb, probes, cents, books, k=5, nprobe=2, shortlist=25
+        )
+        return out.select(
+            "probe_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+
+    q["ivfpq_topk"] = ivfpq_topk
+
     def embedding_near_dup(spark, sf_dir):
         emb = read_table(spark, sf_dir, "embeddings")
         # 0.25 / 8-plane bands are tuned to the synthetic corpus (no true
@@ -2311,6 +2324,44 @@ assign AS (
 WITH {ivf_assign_ctes}
 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(centroid_id AS BIGINT) AS cell_id
 FROM assign WHERE crnk = 1"""
+
+    # IVFADC: IVF cells (crnk=1 per item; crnk<=nprobe=2 per probe) prune
+    # the candidate set, PQ codes score it with exact-integer ADC sums,
+    # exact cosine re-ranks the top-25 shortlist. Candidates need no
+    # DISTINCT: an item's single cell matches at most one of a probe's
+    # probed cells, and a duplicate row would double the ADC join — both
+    # engines rely on the same uniqueness.
+    o["ivfpq_topk"] = f"""
+WITH {ivf_assign_ctes},
+cellt AS (SELECT vec_id, centroid_id AS cell_id FROM assign WHERE crnk = 1),
+pcells AS (SELECT vec_id AS probe_id, centroid_id AS probe_cell
+           FROM assign WHERE vec_id < 10 AND crnk <= 2),
+{_sql_pq_ctes().lstrip()},
+pt AS (SELECT vec_id AS probe_id, s, code, q FROM d WHERE vec_id < 10),
+cand AS (
+  SELECT pc.probe_id, ct.vec_id AS item_id
+  FROM cellt ct JOIN pcells pc ON ct.cell_id = pc.probe_cell
+  WHERE ct.vec_id != pc.probe_id),
+adc AS (
+  SELECT cand.probe_id, cand.item_id, CAST(sum(pt.q) AS BIGINT) AS adc_x10k
+  FROM cand
+  JOIN codes c ON c.vec_id = cand.item_id
+  JOIN pt ON pt.probe_id = cand.probe_id AND pt.s = c.s AND pt.code = c.code
+  GROUP BY cand.probe_id, cand.item_id),
+sl AS (
+  SELECT probe_id, item_id FROM (
+    SELECT probe_id, item_id, row_number() OVER (PARTITION BY probe_id ORDER BY adc_x10k, item_id) AS rnk
+    FROM adc) WHERE rnk <= 25),
+pairs AS (
+  SELECT sl.probe_id, sl.item_id,
+         {_SQL_COSINE.format(p="pe.embedding", c="ce.embedding")} AS cosine
+  FROM sl
+  JOIN embeddings pe ON pe.vec_id = sl.probe_id
+  JOIN embeddings ce ON ce.vec_id = sl.item_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, item_id) AS rnk
+  FROM pairs)
+SELECT probe_id, item_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 5"""
 
     # Unrolled spherical k-means: each iteration assigns against the
     # previous codebook (same round-4 / min-id ranking as every IVF

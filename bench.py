@@ -106,6 +106,7 @@ def main() -> None:
         "pq_codes",
         "pq_ann_topk",
         "pq_rerank_topk",
+        "ivfpq_topk",
         "embedding_near_dup",
         "semantic_dedup",
         "semantic_dedup_kmeans",

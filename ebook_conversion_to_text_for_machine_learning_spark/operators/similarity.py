@@ -1622,3 +1622,97 @@ def read_pq_index(spark, path: str) -> tuple:
         )
     books = [sorted(by[s]) for s in sorted(by)]
     return books, spark.read.parquet(f"{base}/codes")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: list,
+    codebooks: list,
+    *,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC — the canonical billion-scale ANN composition (Jégou et
+    al.): IVF cells prune WHICH vectors to score, PQ codes decide HOW
+    CHEAPLY to score them, exact re-rank restores ordering fidelity.
+
+    Cost model at lake scale: the ADC sum touches only vectors in the
+    ``nprobe`` probed cells (≈ nprobe/cells of the corpus) and reads m
+    small ints per vector, never the raw embedding; the exact re-rank
+    touches |probes| × shortlist vectors. Both corpus-side artifacts
+    (``cells``, ``codes``) are persistable — pass them from
+    ``write_ann_index``/``write_pq_index`` output so a probe batch runs
+    three broadcast-joined narrow scans and zero Arrow encodes.
+
+    Candidate generation joins the cell table against the broadcast
+    probe→cell list; ADC joins the candidates' exploded codes against
+    the broadcast per-probe tables on (probe_id, subspace, code) and
+    partial-agg sums; ranking/tie rules are identical to
+    ``pq_adc_rerank_topk`` (shortlist sizing rule documented there
+    applies unchanged).
+
+    Returns (probe_id, item_id, cosine, rank).
+    """
+    from pyspark.sql.window import Window
+
+    r = shortlist if shortlist is not None else 5 * k
+    if cells is None:
+        cells = ivf_assign_arrow(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
+    probe_cells = ivf_probe_cells_arrow(
+        probes, centroids, nprobe=nprobe, vec_col=vec_col, id_col=id_col
+    ).select("probe_id", "probe_cell")
+    cand = (
+        cells.join(
+            F.broadcast(probe_cells), cells.cell_id == probe_cells.probe_cell
+        )
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("item_id"))
+    )
+    m = len(codebooks)
+    cand_codes = cand.join(
+        codes.select(F.col("vec_id").alias("item_id"), "codes"), "item_id"
+    ).select("probe_id", "item_id", F.posexplode("codes").alias("subspace", "code"))
+    tables = pq_probe_tables_arrow(probes, codebooks, vec_col=vec_col, id_col=id_col)
+    adc = (
+        cand_codes.join(F.broadcast(tables), ["probe_id", "subspace", "code"])
+        .groupBy("probe_id", "item_id")
+        .agg(F.sum("q").alias("adc_x10k"), F.count("*").alias("_n"))
+        .where(F.col("_n") == m)
+        .drop("_n")
+    )
+    wsl = Window.partitionBy("probe_id").orderBy(F.asc("adc_x10k"), F.asc("item_id"))
+    sl = (
+        adc.withColumn("_r", F.row_number().over(wsl))
+        .where(F.col("_r") <= r)
+        .select("probe_id", "item_id")
+    )
+    cand_vecs = corpus.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec")
+    ).join(F.broadcast(sl.select("item_id").distinct()), "item_id", "left_semi")
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    cosine = F.round(
+        _dot(F.col("probe_vec"), F.col("item_vec"))
+        / (_norm(F.col("probe_vec")) * _norm(F.col("item_vec"))),
+        4,
+    )
+    scored = (
+        cand_vecs.join(F.broadcast(sl), "item_id")
+        .join(F.broadcast(p), "probe_id")
+        .select("probe_id", "item_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "item_id", "cosine", "rank")
+    )

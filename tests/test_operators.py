@@ -956,6 +956,42 @@ def test_ann_recall_on_planted_neighbors(spark):
     emb.unpersist()
 
 
+def test_ivfpq_topk_recall_on_planted_neighbors(spark):
+    """The composed IVFADC path (cells prune → ADC scores → exact
+    re-rank) must recover planted neighbors: recall is bounded by
+    P(true cell probed) × P(survives the shortlist), both high at
+    nprobe=8 / R=50 on this corpus."""
+    import collections
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.corpus import (
+        planted_embeddings,
+    )
+
+    emb = planted_embeddings(spark, 2000, 16, n_clusters=100, noise=0.15).cache()
+    probes = emb.where(F.col("vec_id") % 211 == 0)
+    truth = collections.defaultdict(set)
+    for r in cosine_topk(emb, probes, k=5).collect():
+        truth[r.probe_id].add(r.item_id)
+
+    cents = ivf_centroids(emb, target_cells=100)
+    books = pq_codebooks(emb, m=8, target_codes=64)
+    approx = collections.defaultdict(set)
+    out = ivfpq_topk(emb, probes, cents, books, k=5, nprobe=8, shortlist=50)
+    for r in out.collect():
+        approx[r.probe_id].add(r.item_id)
+    recall = sum(len(truth[p] & approx.get(p, set())) for p in truth) / sum(
+        len(v) for v in truth.values()
+    )
+    assert recall >= 0.85, recall
+    emb.unpersist()
+
+
 def test_pq_kmeans_codebooks_invariants(spark):
     """Lloyd training must keep the codebook contract: same nested
     shape, stable dense code ids (downstream code tables survive a
