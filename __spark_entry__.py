@@ -731,6 +731,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temperature_mix"] = temperature_mix
 
+    def domain_affinity(spark, sf_dir):
+        from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+            curation as C,
+        )
+
+        docs = read_table(spark, sf_dir, "documents")
+        target = docs.where(F.col("source") == "src0")
+        return C.domain_affinity(docs, target, n=2)
+
+    q["domain_affinity"] = domain_affinity
+
     def quality_filter_funnel(spark, sf_dir):
         from ebook_conversion_to_text_for_machine_learning_spark.operators import (
             curation as C,
@@ -1921,6 +1932,28 @@ SELECT source, n_tokens, weight, target_tokens,
   CAST(CASE WHEN n_tokens > 0 THEN least(10000, (target_tokens * 10000) // n_tokens) ELSE 0 END AS BIGINT) AS sample_rate_x10k,
   CAST(CASE WHEN n_tokens > 0 THEN (target_tokens * 10000) // n_tokens ELSE 0 END AS BIGINT) AS epochs_x10k
 FROM p"""
+
+    o["domain_affinity"] = f"""
+WITH t AS (SELECT doc_id, source, {tokens} AS toks FROM documents),
+g AS (SELECT doc_id, source,
+        CASE WHEN len(toks) >= 2 THEN
+          list_distinct(list_transform(range(1, len(toks)),
+                                       i -> array_to_string(toks[i:i+1], ' ')))
+        ELSE [] END AS grams
+      FROM t),
+x AS (SELECT doc_id, source, md5(unnest(grams)) AS gram_hash FROM g),
+ctf AS (SELECT gram_hash, CAST(count(*) AS BIGINT) AS tfc FROM x GROUP BY gram_hash),
+ttf AS (SELECT gram_hash, CAST(count(*) AS BIGINT) AS tft
+        FROM x WHERE source = 'src0' GROUP BY gram_hash),
+w AS (SELECT x.doc_id, (coalesce(ttf.tft, 0) * 10000) // ctf.tfc AS w
+      FROM x JOIN ctf USING (gram_hash) LEFT JOIN ttf USING (gram_hash)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(w) // count(*) AS BIGINT) AS affinity
+        FROM w GROUP BY doc_id)
+SELECT g.doc_id,
+  coalesce(n_grams, 0) AS n_grams,
+  coalesce(affinity, 0) AS affinity_x10k
+FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id"""
 
     # Funnel stages mirror the Spark query cumulatively; n>=40 subsumes the
     # Spark side's n>0 quality-guard, so the conditions are identical.

@@ -90,6 +90,7 @@ def main() -> None:
         "source_mix_stats",
         "quality_filter_funnel",
         "temperature_mix",
+        "domain_affinity",
         "line_dedup",
         "repeated_passages",
         "gram_novelty",

@@ -253,6 +253,78 @@ def pack_sequences(
     )
 
 
+def domain_affinity(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    n: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style domain-affinity scoring (Xie et al. 2023, importance
+    resampling): rank corpus documents by how much their n-gram profile
+    resembles a TARGET domain, so a pretraining mix can upsample
+    target-like data without training a classifier.
+
+    Exact-integer surrogate for the paper's hashed-ngram log-likelihood
+    ratio: each distinct gram ``g`` of a document contributes
+    ``w(g) = (tf_target(g) · 10⁴) div tf_corpus(g)`` and the document
+    scores the integer mean of its gram weights —
+    ``affinity_x10k = Σw div n_grams``. Monotone in the target-vs-corpus
+    frequency ratio like the LLR, but free of ``ln()`` (not correctly
+    rounded; engines disagree at quantization boundaries — the same
+    reason ``temperature_mix_plan`` restricts itself to sqrt).
+    ``tf_corpus ≥ 1`` for every gram a document contains (the document
+    itself), so the division is total.
+
+    Scale shape: the corpus gram table explodes ONCE to narrow
+    ``(doc_id, md5(gram))`` rows and is reused for both the corpus
+    frequencies (one partial-agg groupBy) and the per-doc rollup; the
+    target frequencies join on the hash (broadcast when the target is
+    benchmark-sized). Nothing re-tokenizes, nothing touches Python.
+
+    Returns (doc_id, n_grams, affinity_x10k) for every corpus document;
+    gram-less documents score 0.
+    """
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        shingles_col,
+    )
+
+    grams = corpus.select(
+        "doc_id", F.explode_outer(shingles_col(F.col(text_col), n)).alias("_g")
+    ).select("doc_id", F.md5("_g").alias("gram_hash"))
+    corpus_tf = grams.where(F.col("gram_hash").isNotNull()).groupBy(
+        "gram_hash"
+    ).agg(F.count("*").cast("long").alias("_tfc"))
+    target_tf = (
+        target.select(
+            F.explode(shingles_col(F.col(text_col), n)).alias("_g")
+        )
+        .select(F.md5("_g").alias("gram_hash"))
+        .groupBy("gram_hash")
+        .agg(F.count("*").cast("long").alias("_tft"))
+    )
+    weighted = (
+        grams.join(corpus_tf, "gram_hash", "left")
+        .join(F.broadcast(target_tf), "gram_hash", "left")
+        .select(
+            "doc_id",
+            "gram_hash",
+            F.expr(
+                "CASE WHEN gram_hash IS NOT NULL THEN "
+                "(coalesce(_tft, CAST(0 AS BIGINT)) * 10000) div _tfc "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("_w"),
+        )
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.count("gram_hash").cast("long").alias("n_grams"),
+        F.expr(
+            "CASE WHEN count(gram_hash) > 0 THEN "
+            "sum(_w) div count(gram_hash) ELSE CAST(0 AS BIGINT) END"
+        ).alias("affinity_x10k"),
+    )
+
+
 #: Temperatures supported by ``temperature_mix_plan``. Restricted to
 #: powers of 1/2 so the weight is computed by REPEATED ``sqrt`` — IEEE
 #: requires sqrt to be correctly rounded, so Spark and any SQL engine

@@ -1377,6 +1377,31 @@ def test_decontaminate_flags_eval_overlap(spark):
     }
 
 
+def test_domain_affinity_ranks_target_like_docs_higher(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        domain_affinity,
+    )
+
+    corpus = _docs_df(
+        spark,
+        [
+            (1, "en", "machine learning models train fast"),  # target itself
+            (2, "en", "machine learning models help research"),  # shares grams
+            (3, "en", "bananas ripen slowly in cold rooms"),  # unrelated
+            (4, "en", "word"),  # < 2 tokens → no grams
+        ],
+    )
+    target = corpus.where(F.col("doc_id") == 1)
+    rows = {r.doc_id: r for r in domain_affinity(corpus, target, n=2).collect()}
+    assert rows[1].affinity_x10k > rows[2].affinity_x10k > rows[3].affinity_x10k
+    assert rows[3].affinity_x10k == 0  # no gram overlap with the target
+    assert (rows[4].n_grams, rows[4].affinity_x10k) == (0, 0)
+    # Hand-check doc 2: grams "machine learning" and "learning models"
+    # appear in the target once and in the corpus twice → w = 5000 each;
+    # its other two grams score 0 → mean = (5000+5000+0+0) div 4.
+    assert rows[2].affinity_x10k == 2500
+
+
 def test_temperature_mix_plan_upsamples_small_sources(spark):
     import math
 
