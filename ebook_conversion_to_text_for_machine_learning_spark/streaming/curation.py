@@ -239,3 +239,52 @@ def stream_curation(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_funnel(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    stages,
+    *,
+    schema,
+    max_files_per_trigger: int = 16,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Per-micro-batch filter-funnel metrics: each batch writes its
+    stage-attributed survival counters (``operators.curation.
+    filter_funnel`` — one scan, one single-row exchange) to its own
+    ``batch_id=N`` partition with idempotent overwrite, the same
+    at-least-once contract as every sink in this package.
+
+    This is the live health view of a streaming curation pipeline: a
+    quality filter that suddenly starts dropping everything (upstream
+    format change, broken language tagger) surfaces within ONE
+    micro-batch as a collapsed ``n_out``, instead of after a nightly
+    batch rollup. ``stages`` is the same ``[(name, Column)]`` list the
+    batch funnel takes, so batch and stream publish identical tables.
+    """
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        filter_funnel,
+    )
+
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df, batch_id: int) -> None:
+        (
+            filter_funnel(batch_df, stages)
+            .write.mode("overwrite")
+            .parquet(f"{output_dir}/batch_id={batch_id}")
+        )
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

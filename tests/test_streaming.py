@@ -347,3 +347,61 @@ def test_stream_curation_migrates_round2_flat_output(spark, tmp_path):
     # sidecar seeded under batch_id=-1 with exactly the legacy hashes
     seeded = spark.read.parquet(f"{seen_dir}/batch_id={COMPACTED_BATCH_ID}")
     assert {r.text_hash for r in seeded.collect()} == legacy_hashes
+
+
+def test_stream_funnel_per_batch_counters_match_batch_funnel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.curation import (
+        filter_funnel,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.streaming.curation import (
+        stream_funnel,
+    )
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "funnel_out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, lang string, n int"
+    # Two files → two micro-batches at maxFilesPerTrigger=1.
+    spark.createDataFrame(
+        [(1, "en", 100), (2, "de", 100), (3, "en", 10)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [(4, "en", 100), (5, "en", 200)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stages = [
+        ("lang_en", F.col("lang") == "en"),
+        ("min_len", F.col("n") >= 50),
+    ]
+    query = stream_funnel(
+        spark, in_dir, out_dir, ckpt, stages,
+        schema=schema, max_files_per_trigger=1, available_now=True,
+    )
+    query.awaitTermination()
+
+    out = spark.read.parquet(out_dir)
+    batch_ids = {r.batch_id for r in out.select("batch_id").distinct().collect()}
+    assert len(batch_ids) == 2
+    # Per-batch counters are exactly the batch funnel of that slice, and
+    # the totals add up across batches (counters are additive).
+    totals = {
+        (r.stage_idx, r.stage): (r.n_in, r.n_dropped, r.n_out)
+        for r in out.groupBy("stage_idx", "stage")
+        .agg(
+            F.sum("n_in").alias("n_in"),
+            F.sum("n_dropped").alias("n_dropped"),
+            F.sum("n_out").alias("n_out"),
+        )
+        .collect()
+    }
+    whole = {
+        (r.stage_idx, r.stage): (r.n_in, r.n_dropped, r.n_out)
+        for r in filter_funnel(spark.read.parquet(in_dir), stages).collect()
+    }
+    assert totals == whole
+    # Every batch partition holds one well-formed row per stage.
+    for b in batch_ids:
+        rows = out.where(F.col("batch_id") == b).collect()
+        assert sorted(r.stage for r in rows) == ["lang_en", "min_len"]
