@@ -195,6 +195,17 @@ def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
     Breaks source-file clustering/skew (all the giant PDFs in one input
     split) before the Python-map stage; a deliberate full shuffle.
 
+    This IS the doc-size skew strategy, deliberately: a document is an
+    atomic unit of fold work, so the best any partitioner can do with a
+    giant PDF is keep it AWAY from other giant PDFs — which a uniform
+    random spread achieves with variance shrinking as 1/√(docs per
+    partition) (at lake scale, ~10⁵ docs/partition makes per-partition
+    cost essentially equal). Size-SORTED placement would be strictly
+    worse: it co-locates the giants, and one 512-row Arrow batch of
+    25-page PDFs is exactly the memory spike ``maxRecordsPerBatch``
+    exists to prevent. Residual imbalance is observable per partition
+    via the summed ``elapsed_us`` in lineage.
+
     The partition expression must stay HIGH-cardinality: Spark hash-partitions
     the expression value, so pre-folding it with ``pmod(..., N)`` would throw
     N distinct values into N buckets and leave ~1/e of the partitions empty
