@@ -28,6 +28,10 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Everything after this line in BENCH/BASELINE.md is hand-maintained and
+#: survives regeneration.
+MANUAL_MARKER = "<!-- manual sections below: preserved by scripts/scaling_bench.py -->"
+
 RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
@@ -163,9 +167,20 @@ generator pipeline with a blocking OCR HTTPS call per image batch
 OCR transcripts pre-resolved.
 
 Reproduce: `python scripts/scaling_bench.py {n_docs}`.
+
+{MANUAL_MARKER}
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # Regenerate only the measured block; keep every hand-written section
+    # after the marker (variance history, second-workload series) — a
+    # refresh run must never delete recorded evidence.
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if MANUAL_MARKER in old:
+            tail = old.split(MANUAL_MARKER, 1)[1]
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(json.dumps(result))
 
 
