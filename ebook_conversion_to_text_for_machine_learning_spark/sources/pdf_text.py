@@ -39,7 +39,12 @@ first-child-only container recursion reduces to the identity here because
 each extracted line is modeled as its own single-line box (the same shape
 its golden-test PDFs produce, one text box per line).
 
-Not handled (use the pdfminer path for these): encrypted files, CID
+Encrypted files: the legacy RC4 Standard security handler (V 1-2 /
+R 2-3, 40-128 bit) decrypts when the EMPTY user password opens the file
+— the common owner-restricted case. Password-protected and V≥4 (AES /
+crypt filter) files quarantine.
+
+Not handled (use the pdfminer path for these): AES-encrypted files, CID
 fonts WITHOUT a ToUnicode CMap (raw CIDs are font-program-specific), and
 glyph repositioning via ``Tm`` with rotation.
 """
@@ -337,6 +342,85 @@ def _unpredict(data: bytes, predictor: int, columns: int, colors: int = 1,
     return bytes(out)
 
 
+#: The standard-security-handler password pad (PDF 32000-1 §7.6.3.3).
+_PDF_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 — stdlib-only (hashlib/ssl expose no RC4); 256-entry KSA + PRGA
+    straight from the spec. Used ONLY to read legacy encrypted PDFs."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _std_empty_password_key(enc: dict, doc_id: bytes):
+    """File decryption key for the Standard security handler when the
+    EMPTY user password opens the file — the overwhelmingly common case
+    on real shelves (owner-restricted PDFs that any viewer opens without
+    prompting). Returns the key bytes, or ``None`` when the handler /
+    revision is unsupported (V≥4 AES, crypt filters) or a real user
+    password is required — the caller quarantines exactly as before.
+
+    Algorithms 2 (key derivation) and 4/5 (U verification) of PDF
+    32000-1 §7.6.3, V ∈ {1,2} / R ∈ {2,3} (RC4 40–128 bit).
+    """
+    import hashlib
+
+    if str(enc.get("Filter")) != "Standard":
+        return None
+    v = enc.get("V", 0)
+    r = enc.get("R", 0)
+    if v not in (1, 2) or r not in (2, 3):
+        return None
+    o = enc.get("O")
+    u = enc.get("U")
+    p = enc.get("P")
+    if not isinstance(o, bytes) or not isinstance(u, bytes) or not isinstance(p, int):
+        return None
+    length = int(enc.get("Length", 40)) // 8 if v == 2 else 5
+    if not 5 <= length <= 16:
+        return None
+    digest = hashlib.md5(
+        _PDF_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + doc_id
+    ).digest()
+    key = digest[:length]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:length]).digest()[:length]
+    if r == 2:
+        ok = _rc4(key, _PDF_PAD) == u[:32]
+    else:
+        x = _rc4(key, hashlib.md5(_PDF_PAD + doc_id).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == u[:16]
+    return key if ok else None
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Per-object RC4 key (§7.6.2 algorithm 1): md5(file key + 3
+    low-order object-number bytes + 2 generation bytes), truncated."""
+    import hashlib
+
+    digest = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return digest[: min(len(file_key) + 5, 16)]
+
+
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
 
@@ -361,28 +445,69 @@ class _PdfFile:
         #: per-font-object decoder cache (bytes -> str), built lazily
         self._font_decoders: Dict[int, object] = {}
         self._scan()
-        self._reject_encrypted()
+        self._setup_decryption()
         # objnum -> (objstm_num, index_in_stream) per the xref stream
         # chain; authoritative for which ObjStm copy of an object is live
         self._xref_in_objstm: Dict[int, Tuple[int, int]] = {}
         self._load_xref_chain()
         self._load_object_streams()
 
-    def _reject_encrypted(self) -> None:
-        """Encrypted files quarantine instead of extracting RC4/AES
-        ciphertext as mojibake. /Encrypt lives in the trailer dict
-        (classic) or the xref stream dict (1.5+); both are parsed — a
-        bare substring grep would false-positive on content."""
+    def _setup_decryption(self) -> None:
+        """Decrypt legacy RC4 standard-handler files that open with the
+        EMPTY user password (the common owner-restricted case); quarantine
+        everything else encrypted instead of extracting ciphertext as
+        mojibake. /Encrypt lives in the trailer dict (classic) or the
+        xref stream dict (1.5+); both are parsed — a bare substring grep
+        would false-positive on content.
+
+        When the key verifies, every object's stream is RC4-decrypted in
+        place BEFORE the xref chain / ObjStm pass, with two spec'd
+        exceptions: cross-reference streams are never encrypted, and the
+        /Encrypt dictionary's own object is skipped. Strings inside
+        object streams are covered by decrypting the ObjStm stream
+        itself; top-level dict strings stay undecrypted — the extractor
+        never consumes one (document metadata arrives via the input
+        table). Generation numbers are assumed 0 (the object scan keys
+        on number; nonzero-gen encrypted files are vanishingly rare and
+        would quarantine downstream as parse failures, not extract
+        garbage silently).
+        """
+        trailers: list = []
         for m in re.finditer(rb"trailer\b", self.data):
             try:
                 d, _ = _parse_value(self.data, m.end())
             except (ValueError, IndexError):
                 continue
-            if isinstance(d, dict) and "Encrypt" in d:
-                raise ValueError("encrypted PDF (trailer /Encrypt)")
+            if isinstance(d, dict):
+                trailers.append(d)
         for _num, (body, _s) in self.objects.items():
-            if str(body.get("Type")) == "XRef" and "Encrypt" in body:
-                raise ValueError("encrypted PDF (xref stream /Encrypt)")
+            if str(body.get("Type")) == "XRef":
+                trailers.append(body)
+        enc_dicts = [d for d in trailers if "Encrypt" in d]
+        if not enc_dicts:
+            return
+        enc_ref = enc_dicts[0]["Encrypt"]
+        enc_num = enc_ref.num if isinstance(enc_ref, _Ref) else None
+        enc = self.resolve(enc_ref)
+        doc_id = b""
+        for d in enc_dicts + trailers:
+            fid = d.get("ID")
+            if isinstance(fid, list) and fid and isinstance(fid[0], bytes):
+                doc_id = fid[0]
+                break
+        key = (
+            _std_empty_password_key(enc, doc_id) if isinstance(enc, dict) else None
+        )
+        if key is None:
+            raise ValueError(
+                "encrypted PDF (unsupported handler or password required)"
+            )
+        for num, (body, stream) in self.objects.items():
+            if stream is None or num == enc_num:
+                continue
+            if str(body.get("Type")) == "XRef":
+                continue
+            self.objects[num] = (body, _rc4(_object_key(key, num), stream))
 
     def _scan(self) -> None:
         # Manual cursor, NOT finditer over the whole file: stream bodies

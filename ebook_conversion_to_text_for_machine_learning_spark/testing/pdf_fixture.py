@@ -192,6 +192,87 @@ def _page_content(items: Sequence[PageItem], image_names: List[str]) -> bytes:
     return b"\n".join(ops) + b"\n"
 
 
+#: Standard-security-handler pad — duplicated from the spec on purpose so
+#: the fixture's crypto is INDEPENDENT of the reader's (a shared helper
+#: would let a symmetric implementation bug round-trip invisibly).
+_FX_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def _fx_rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _fx_encrypt(bodies: dict, streams: dict, enc_num: int, mode: str) -> bytes:
+    """Encrypt every stream per PDF 32000-1 §7.6.3 (Standard handler,
+    RC4) and install the /Encrypt object. ``mode``: ``rc4-40`` (V1/R2),
+    ``rc4-128`` (V2/R3), ``rc4-locked`` (V2/R3 with a non-empty USER
+    password — the reader must quarantine). Returns the document ID."""
+    import hashlib
+
+    locked = mode == "rc4-locked"
+    if mode == "rc4-40":
+        r, v, length = 2, 1, 5
+    else:
+        r, v, length = 3, 2, 16
+    user_pwd = b"secret" if locked else b""
+    owner_pwd = b"owner"
+    doc_id = hashlib.md5(b"engine-pdf-fixture-id").digest()
+
+    def pad(pwd: bytes) -> bytes:
+        return (pwd + _FX_PAD)[:32]
+
+    # Algorithm 3: /O from the owner password.
+    d = hashlib.md5(pad(owner_pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            d = hashlib.md5(d).digest()
+    okey = d[:length]
+    o = _fx_rc4(okey, pad(user_pwd))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _fx_rc4(bytes(b ^ i for b in okey), o)
+    p_val = -44
+    # Algorithm 2: the file key (from the USER password).
+    key = hashlib.md5(
+        pad(user_pwd) + o + (p_val & 0xFFFFFFFF).to_bytes(4, "little") + doc_id
+    ).digest()[:length]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:length]).digest()[:length]
+    # Algorithm 4/5: /U.
+    if r == 2:
+        u = _fx_rc4(key, _FX_PAD)
+    else:
+        x = _fx_rc4(key, hashlib.md5(_FX_PAD + doc_id).digest())
+        for i in range(1, 20):
+            x = _fx_rc4(bytes(b ^ i for b in key), x)
+        u = x + bytes(16)
+    for num in list(streams):
+        ok = hashlib.md5(
+            key + num.to_bytes(3, "little") + b"\x00\x00"
+        ).digest()[: min(length + 5, 16)]
+        streams[num] = _fx_rc4(ok, streams[num])
+    bodies[enc_num] = (
+        f"<< /Filter /Standard /V {v} /R {r} /Length {length * 8} "
+        f"/O <{o.hex()}> /U <{u.hex()}> /P {p_val} >>"
+    ).encode()
+    return doc_id
+
+
 def build_pdf(
     pages: Sequence[Sequence[PageItem]],
     *,
@@ -200,12 +281,17 @@ def build_pdf(
     corrupt_objstm: bool = False,
     font_spec: Optional[dict] = None,
     content_filter: Optional[str] = None,
+    encrypt: Optional[str] = None,
 ) -> Tuple[bytes, List[List[int]]]:
     """Serialize a PDF; returns ``(pdf_bytes, image_object_ids_per_page)``.
 
     The returned image object ids are what the extractor (and pdfminer via
     ``stream.objid``) reports as each image span's ``media_ref``.
+    ``encrypt``: None, or ``rc4-40`` / ``rc4-128`` / ``rc4-locked``
+    (classic layout only).
     """
+    if encrypt and objstm:
+        raise ValueError("encrypt supported on the classic layout only")
     # --- object numbering: 1 Catalog, 2 Pages, 3 Font, then per page:
     # page, content, images...
     next_num = 4
@@ -317,6 +403,15 @@ def build_pdf(
             image_nums,
         )
 
+    trailer_extra = ""
+    if encrypt:
+        enc_num = next_num
+        next_num += 1
+        doc_id = _fx_encrypt(bodies, streams, enc_num, encrypt)
+        trailer_extra = (
+            f" /Encrypt {enc_num} 0 R /ID [<{doc_id.hex()}> <{doc_id.hex()}>]"
+        )
+
     # --- serialize with a correct classic xref table ----------------------
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: Dict[int, int] = {}
@@ -334,7 +429,7 @@ def build_pdf(
     for num in range(1, count):
         out += f"{offsets[num]:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {count} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {count} /Root 1 0 R{trailer_extra} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out), image_nums

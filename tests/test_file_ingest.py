@@ -505,6 +505,48 @@ def test_inline_image_binary_does_not_leak_into_text(tmp_path):
     ]
 
 
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128"])
+def test_rc4_encrypted_pdf_round_trips(tmp_path, mode):
+    """Legacy RC4 standard-handler files with an empty user password
+    (owner-restricted — the common real-shelf case) must extract the
+    SAME spans as the unencrypted serialization of the same document.
+    The fixture's crypto (key derivation, /O, /U, per-object keys) is an
+    independent implementation of the spec, so agreement here checks the
+    reader's derivation, not a shared helper."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    pages = [["Chapter One", "First chapter paragraph text."], ["Page two."]]
+    plain_bytes, _ = build_pdf(pages)
+    f0 = tmp_path / "plain.pdf"
+    f0.write_bytes(plain_bytes)
+    expected = pdf_file_to_spans(f0)
+
+    data, _ = build_pdf(pages, encrypt=mode)
+    assert b"/Encrypt" in data and data != plain_bytes
+    f = tmp_path / f"{mode}.pdf"
+    f.write_bytes(data)
+    assert pdf_file_to_spans(f) == expected
+
+
+def test_password_protected_pdf_still_quarantines(tmp_path):
+    """A non-empty USER password (fixture mode rc4-locked) must fail the
+    /U check and quarantine — never extract with a wrong key."""
+    from ebook_conversion_to_text_for_machine_learning_spark.compat import (
+        PDFConversionError,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf([["Top secret."]], encrypt="rc4-locked")
+    f = tmp_path / "locked.pdf"
+    f.write_bytes(data)
+    with pytest.raises(PDFConversionError, match="encrypt"):
+        pdf_file_to_spans(f)
+
+
 def test_encrypted_pdf_quarantines_not_mojibake(tmp_path):
     """A file with /Encrypt must raise (→ quarantine) instead of
     extracting RC4/AES ciphertext as garbage text."""
