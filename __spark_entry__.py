@@ -172,6 +172,16 @@ def _pdf_file_corpus() -> list:
         data, _ids = build_pdf(pages, compress=True)
         corpus.append((f"mem://book_{i}.pdf", data))
     corpus.append(("mem://broken.pdf", b"%PDF-1.4 truncated garbage, no objects"))
+    # Legacy RC4 encryption: the empty-user-password file extracts the
+    # same spans as its plaintext twin; the password-protected one
+    # quarantines (status='error').
+    enc_pages = [["Encrypted title "], ["Chapter 1 ", "Secret body text. "]]
+    corpus.append(
+        ("mem://owner_locked.pdf", build_pdf(enc_pages, encrypt="rc4-128")[0])
+    )
+    corpus.append(
+        ("mem://password.pdf", build_pdf(enc_pages, encrypt="rc4-locked")[0])
+    )
     return corpus
 
 
