@@ -167,6 +167,29 @@ def test_pdf_build_parse_round_trip(pages):
     assert rows == expected
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    pages=st.lists(_pdf_page, min_size=1, max_size=3),
+    mode=st.sampled_from(["rc4-40", "rc4-128"]),
+)
+def test_pdf_rc4_encrypted_round_trip_property(pages, mode):
+    """RC4 decryption must be transparent for ANY content: the encrypted
+    serialization parses to exactly the rows of its plaintext twin. The
+    fixture's crypto is an independent spec implementation, so this
+    cross-checks the reader's key derivation over arbitrary stream
+    bytes (compression makes every ciphertext differ)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        pdf_bytes_to_rows,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    plain, _ = build_pdf(pages, compress=True)
+    enc, _ = build_pdf(pages, compress=True, encrypt=mode)
+    assert pdf_bytes_to_rows(enc) == pdf_bytes_to_rows(plain)
+
+
 @settings(max_examples=150, deadline=None)
 @given(data=st.binary(min_size=0, max_size=4000))
 def test_pdf_stream_codecs_round_trip(data):
