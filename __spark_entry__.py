@@ -182,6 +182,9 @@ def _pdf_file_corpus() -> list:
     corpus.append(
         ("mem://password.pdf", build_pdf(enc_pages, encrypt="rc4-locked")[0])
     )
+    corpus.append(
+        ("mem://aes_book.pdf", build_pdf(enc_pages, encrypt="aes-128")[0])
+    )
     return corpus
 
 

@@ -39,12 +39,14 @@ first-child-only container recursion reduces to the identity here because
 each extracted line is modeled as its own single-line box (the same shape
 its golden-test PDFs produce, one text box per line).
 
-Encrypted files: the legacy RC4 Standard security handler (V 1-2 /
-R 2-3, 40-128 bit) decrypts when the EMPTY user password opens the file
-— the common owner-restricted case. Password-protected and V≥4 (AES /
-crypt filter) files quarantine.
+Encrypted files: the Standard security handler decrypts when the EMPTY
+user password opens the file — the common owner-restricted case — for
+both legacy RC4 (V 1-2 / R 2-3, 40-128 bit) and AES-128 (V 4 / R 4,
+AESV2 crypt filter; pure-stdlib InvCipher pinned to the FIPS-197
+known-answer vector). Password-protected files and AESV3/R6 (AES-256)
+quarantine.
 
-Not handled (use the pdfminer path for these): AES-encrypted files, CID
+Not handled (use the pdfminer path for these): AES-256 files, CID
 fonts WITHOUT a ToUnicode CMap (raw CIDs are font-program-specific), and
 glyph repositioning via ``Tm`` with rotation.
 """
@@ -366,16 +368,143 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _std_empty_password_key(enc: dict, doc_id: bytes):
-    """File decryption key for the Standard security handler when the
-    EMPTY user password opens the file — the overwhelmingly common case
-    on real shelves (owner-restricted PDFs that any viewer opens without
-    prompting). Returns the key bytes, or ``None`` when the handler /
-    revision is unsupported (V≥4 AES, crypt filters) or a real user
-    password is required — the caller quarantines exactly as before.
+def _gf_mul(a: int, b: int) -> int:
+    """GF(2^8) multiply, AES polynomial x^8+x^4+x^3+x+1 (0x11B)."""
+    out = 0
+    for _ in range(8):
+        if b & 1:
+            out ^= a
+        b >>= 1
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+    return out
+
+
+def _aes_tables():
+    """(sbox, inv_sbox) computed from the FIPS-197 definition (GF(2^8)
+    inverse + affine transform) instead of 256 hand-typed literals — a
+    derivation cannot carry a single-entry typo. Single-block
+    correctness is pinned against the FIPS-197 known-answer vector."""
+    sbox = [0] * 256
+    inv = [0] * 256
+    # multiplicative inverses via exp/log tables over generator 3
+    exp = [0] * 510
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x = _gf_mul(x, 3)
+    for i in range(255, 510):
+        exp[i] = exp[i - 255]
+    for a in range(256):
+        v = 0 if a == 0 else exp[255 - log[a]]
+        # affine: b_i = v_i ^ v_(i+4) ^ v_(i+5) ^ v_(i+6) ^ v_(i+7) ^ c_i
+        b = 0
+        for i in range(8):
+            bit = (
+                (v >> i)
+                ^ (v >> ((i + 4) % 8))
+                ^ (v >> ((i + 5) % 8))
+                ^ (v >> ((i + 6) % 8))
+                ^ (v >> ((i + 7) % 8))
+                ^ (0x63 >> i)
+            ) & 1
+            b |= bit << i
+        sbox[a] = b
+        inv[b] = a
+    return bytes(sbox), bytes(inv)
+
+
+_AES_SBOX, _AES_INV_SBOX = _aes_tables()
+
+
+def _aes128_round_keys(key: bytes):
+    """FIPS-197 key expansion: 11 round keys of 16 bytes."""
+    assert len(key) == 16
+    words = [key[i : i + 4] for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = words[i - 1]
+        if i % 4 == 0:
+            t = bytes(
+                (_AES_SBOX[t[1]] ^ rcon, _AES_SBOX[t[2]], _AES_SBOX[t[3]], _AES_SBOX[t[0]])
+            )
+            rcon = _gf_mul(rcon, 2)
+        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
+    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(11)]
+
+
+def _aes128_decrypt_block(rk: list, block: bytes) -> bytes:
+    """FIPS-197 InvCipher over one 16-byte block (state in column order)."""
+    s = bytearray(a ^ b for a, b in zip(block, rk[10]))
+
+    def inv_shift_sub(st: bytearray) -> bytearray:
+        out = bytearray(16)
+        for c in range(4):
+            for r in range(4):
+                # InvShiftRows: row r rotates RIGHT by r columns.
+                out[((c + r) % 4) * 4 + r] = _AES_INV_SBOX[st[c * 4 + r]]
+        return out
+
+    for rnd in range(9, 0, -1):
+        s = inv_shift_sub(s)
+        s = bytearray(a ^ b for a, b in zip(s, rk[rnd]))
+        # InvMixColumns
+        out = bytearray(16)
+        for c in range(4):
+            col = s[c * 4 : c * 4 + 4]
+            out[c * 4 + 0] = (
+                _gf_mul(col[0], 14) ^ _gf_mul(col[1], 11) ^ _gf_mul(col[2], 13) ^ _gf_mul(col[3], 9)
+            )
+            out[c * 4 + 1] = (
+                _gf_mul(col[0], 9) ^ _gf_mul(col[1], 14) ^ _gf_mul(col[2], 11) ^ _gf_mul(col[3], 13)
+            )
+            out[c * 4 + 2] = (
+                _gf_mul(col[0], 13) ^ _gf_mul(col[1], 9) ^ _gf_mul(col[2], 14) ^ _gf_mul(col[3], 11)
+            )
+            out[c * 4 + 3] = (
+                _gf_mul(col[0], 11) ^ _gf_mul(col[1], 13) ^ _gf_mul(col[2], 9) ^ _gf_mul(col[3], 14)
+            )
+        s = out
+    s = inv_shift_sub(s)
+    return bytes(a ^ b for a, b in zip(s, rk[0]))
+
+
+def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AESV2 stream layout (§7.6.2): 16-byte IV prefix, CBC body,
+    PKCS#7 padding. Returns b'' for malformed (short / ragged) input —
+    the downstream parse then quarantines rather than crashing here."""
+    if len(data) < 32 or len(data) % 16:
+        return b""
+    rk = _aes128_round_keys(key)
+    iv = data[:16]
+    out = bytearray()
+    prev = iv
+    for i in range(16, len(data), 16):
+        block = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes128_decrypt_block(rk, block), prev))
+        prev = block
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        return b""
+    return bytes(out[:-pad])
+
+
+def _std_empty_password_scheme(enc: dict, doc_id: bytes):
+    """(file key, stream cipher) for the Standard security handler when
+    the EMPTY user password opens the file — the overwhelmingly common
+    case on real shelves (owner-restricted PDFs that any viewer opens
+    without prompting). Returns ``(key, "rc4"|"aesv2")``, or ``None``
+    when the handler/revision is unsupported (AESV3/R6, exotic crypt
+    filters) or a real user password is required — the caller
+    quarantines exactly as before.
 
     Algorithms 2 (key derivation) and 4/5 (U verification) of PDF
-    32000-1 §7.6.3, V ∈ {1,2} / R ∈ {2,3} (RC4 40–128 bit).
+    32000-1 §7.6.3. Supported: V ∈ {1,2} / R ∈ {2,3} (RC4 40–128 bit)
+    and V 4 / R 4 with the AESV2 crypt filter applied to streams
+    (EncryptMetadata default).
     """
     import hashlib
 
@@ -383,14 +512,29 @@ def _std_empty_password_key(enc: dict, doc_id: bytes):
         return None
     v = enc.get("V", 0)
     r = enc.get("R", 0)
-    if v not in (1, 2) or r not in (2, 3):
+    method = None
+    if v in (1, 2) and r in (2, 3):
+        method = "rc4"
+        length = int(enc.get("Length", 40)) // 8 if v == 2 else 5
+    elif v == 4 and r == 4:
+        # Only the vanilla AESV2 shape: /StmF /StdCF with /CFM /AESV2.
+        cf = enc.get("CF")
+        stdcf = cf.get("StdCF") if isinstance(cf, dict) else None
+        cfm = str(stdcf.get("CFM")) if isinstance(stdcf, dict) else ""
+        stmf = str(enc.get("StmF", "Identity"))
+        if cfm != "AESV2" or stmf != "StdCF":
+            return None
+        if enc.get("EncryptMetadata") is False:
+            return None  # would append ffffffff to the hash; rare — quarantine
+        method = "aesv2"
+        length = 16
+    else:
         return None
     o = enc.get("O")
     u = enc.get("U")
     p = enc.get("P")
     if not isinstance(o, bytes) or not isinstance(u, bytes) or not isinstance(p, int):
         return None
-    length = int(enc.get("Length", 40)) // 8 if v == 2 else 5
     if not 5 <= length <= 16:
         return None
     digest = hashlib.md5(
@@ -407,16 +551,18 @@ def _std_empty_password_key(enc: dict, doc_id: bytes):
         for i in range(1, 20):
             x = _rc4(bytes(b ^ i for b in key), x)
         ok = x == u[:16]
-    return key if ok else None
+    return (key, method) if ok else None
 
 
-def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
-    """Per-object RC4 key (§7.6.2 algorithm 1): md5(file key + 3
-    low-order object-number bytes + 2 generation bytes), truncated."""
+def _object_key(file_key: bytes, num: int, gen: int = 0, *, aes: bool = False) -> bytes:
+    """Per-object key (§7.6.2 algorithm 1): md5(file key + 3 low-order
+    object-number bytes + 2 generation bytes [+ the AES salt "sAlT"]),
+    truncated to min(len+5, 16)."""
     import hashlib
 
+    extra = b"sAlT" if aes else b""
     digest = hashlib.md5(
-        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + extra
     ).digest()
     return digest[: min(len(file_key) + 5, 16)]
 
@@ -495,19 +641,24 @@ class _PdfFile:
             if isinstance(fid, list) and fid and isinstance(fid[0], bytes):
                 doc_id = fid[0]
                 break
-        key = (
-            _std_empty_password_key(enc, doc_id) if isinstance(enc, dict) else None
+        scheme = (
+            _std_empty_password_scheme(enc, doc_id) if isinstance(enc, dict) else None
         )
-        if key is None:
+        if scheme is None:
             raise ValueError(
                 "encrypted PDF (unsupported handler or password required)"
             )
+        key, method = scheme
         for num, (body, stream) in self.objects.items():
             if stream is None or num == enc_num:
                 continue
             if str(body.get("Type")) == "XRef":
                 continue
-            self.objects[num] = (body, _rc4(_object_key(key, num), stream))
+            if method == "aesv2":
+                plain = _aes128_cbc_decrypt(_object_key(key, num, aes=True), stream)
+            else:
+                plain = _rc4(_object_key(key, num), stream)
+            self.objects[num] = (body, plain)
 
     def _scan(self) -> None:
         # Manual cursor, NOT finditer over the whole file: stream bodies

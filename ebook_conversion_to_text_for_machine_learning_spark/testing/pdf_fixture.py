@@ -216,6 +216,105 @@ def _fx_rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _fx_gf_mul(a: int, b: int) -> int:
+    out = 0
+    for _ in range(8):
+        if b & 1:
+            out ^= a
+        b >>= 1
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+    return out
+
+
+def _fx_sbox() -> bytes:
+    exp = [0] * 510
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x = _fx_gf_mul(x, 3)
+    for i in range(255, 510):
+        exp[i] = exp[i - 255]
+    box = [0] * 256
+    for a in range(256):
+        v = 0 if a == 0 else exp[255 - log[a]]
+        b = 0
+        for i in range(8):
+            bit = (
+                (v >> i)
+                ^ (v >> ((i + 4) % 8))
+                ^ (v >> ((i + 5) % 8))
+                ^ (v >> ((i + 6) % 8))
+                ^ (v >> ((i + 7) % 8))
+                ^ (0x63 >> i)
+            ) & 1
+            b |= bit << i
+        box[a] = b
+    return bytes(box)
+
+
+_FX_SBOX = _fx_sbox()
+
+
+def _fx_aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """FIPS-197 forward Cipher — the fixture's own implementation (the
+    reader carries the InvCipher; both are pinned against the official
+    C.1 known-answer vector, so they cross-check rather than cancel)."""
+    words = [key[i : i + 4] for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = words[i - 1]
+        if i % 4 == 0:
+            t = bytes(
+                (
+                    _FX_SBOX[t[1]] ^ rcon,
+                    _FX_SBOX[t[2]],
+                    _FX_SBOX[t[3]],
+                    _FX_SBOX[t[0]],
+                )
+            )
+            rcon = _fx_gf_mul(rcon, 2)
+        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
+    rk = [b"".join(words[4 * r : 4 * r + 4]) for r in range(11)]
+
+    def sub_shift(st: bytes) -> bytearray:
+        out = bytearray(16)
+        for c in range(4):
+            for r in range(4):
+                # ShiftRows: row r rotates LEFT by r columns.
+                out[c * 4 + r] = _FX_SBOX[st[((c + r) % 4) * 4 + r]]
+        return out
+
+    s = bytes(a ^ b for a, b in zip(block, rk[0]))
+    for rnd in range(1, 10):
+        s = sub_shift(s)
+        out = bytearray(16)
+        for c in range(4):
+            col = s[c * 4 : c * 4 + 4]
+            out[c * 4 + 0] = _fx_gf_mul(col[0], 2) ^ _fx_gf_mul(col[1], 3) ^ col[2] ^ col[3]
+            out[c * 4 + 1] = col[0] ^ _fx_gf_mul(col[1], 2) ^ _fx_gf_mul(col[2], 3) ^ col[3]
+            out[c * 4 + 2] = col[0] ^ col[1] ^ _fx_gf_mul(col[2], 2) ^ _fx_gf_mul(col[3], 3)
+            out[c * 4 + 3] = _fx_gf_mul(col[0], 3) ^ col[1] ^ col[2] ^ _fx_gf_mul(col[3], 2)
+        s = bytes(a ^ b for a, b in zip(out, rk[rnd]))
+    s = sub_shift(s)
+    return bytes(a ^ b for a, b in zip(s, rk[10]))
+
+
+def _fx_aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _fx_aes128_encrypt_block(key, block)
+        out += prev
+    return bytes(out)
+
+
 def _fx_encrypt(bodies: dict, streams: dict, enc_num: int, mode: str) -> bytes:
     """Encrypt every stream per PDF 32000-1 §7.6.3 (Standard handler,
     RC4) and install the /Encrypt object. ``mode``: ``rc4-40`` (V1/R2),
@@ -224,8 +323,11 @@ def _fx_encrypt(bodies: dict, streams: dict, enc_num: int, mode: str) -> bytes:
     import hashlib
 
     locked = mode == "rc4-locked"
+    aes = mode == "aes-128"
     if mode == "rc4-40":
         r, v, length = 2, 1, 5
+    elif aes:
+        r, v, length = 4, 4, 16
     else:
         r, v, length = 3, 2, 16
     user_pwd = b"secret" if locked else b""
@@ -261,15 +363,37 @@ def _fx_encrypt(bodies: dict, streams: dict, enc_num: int, mode: str) -> bytes:
         for i in range(1, 20):
             x = _fx_rc4(bytes(b ^ i for b in key), x)
         u = x + bytes(16)
+    import re as _re
+
     for num in list(streams):
+        salt = b"sAlT" if aes else b""
         ok = hashlib.md5(
-            key + num.to_bytes(3, "little") + b"\x00\x00"
+            key + num.to_bytes(3, "little") + b"\x00\x00" + salt
         ).digest()[: min(length + 5, 16)]
-        streams[num] = _fx_rc4(ok, streams[num])
-    bodies[enc_num] = (
-        f"<< /Filter /Standard /V {v} /R {r} /Length {length * 8} "
-        f"/O <{o.hex()}> /U <{u.hex()}> /P {p_val} >>"
-    ).encode()
+        if aes:
+            iv = hashlib.md5(b"fixture-iv-%d" % num).digest()
+            streams[num] = _fx_aes128_cbc_encrypt(ok, iv, streams[num])
+            # AES grows the stream (IV + PKCS#7 pad): rewrite /Length.
+            bodies[num] = _re.sub(
+                rb"/Length \d+",
+                b"/Length %d" % len(streams[num]),
+                bodies[num],
+                count=1,
+            )
+        else:
+            streams[num] = _fx_rc4(ok, streams[num])
+    if aes:
+        bodies[enc_num] = (
+            f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+            f"/StmF /StdCF /StrF /StdCF "
+            f"/O <{o.hex()}> /U <{u.hex()}> /P {p_val} >>"
+        ).encode()
+    else:
+        bodies[enc_num] = (
+            f"<< /Filter /Standard /V {v} /R {r} /Length {length * 8} "
+            f"/O <{o.hex()}> /U <{u.hex()}> /P {p_val} >>"
+        ).encode()
     return doc_id
 
 

@@ -505,14 +505,16 @@ def test_inline_image_binary_does_not_leak_into_text(tmp_path):
     ]
 
 
-@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128"])
-def test_rc4_encrypted_pdf_round_trips(tmp_path, mode):
-    """Legacy RC4 standard-handler files with an empty user password
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128"])
+def test_encrypted_pdf_round_trips(tmp_path, mode):
+    """Standard-handler files with an empty user password
     (owner-restricted — the common real-shelf case) must extract the
-    SAME spans as the unencrypted serialization of the same document.
-    The fixture's crypto (key derivation, /O, /U, per-object keys) is an
-    independent implementation of the spec, so agreement here checks the
-    reader's derivation, not a shared helper."""
+    SAME spans as the unencrypted serialization of the same document,
+    across RC4 40/128 (V1-2/R2-3) and AESV2 (V4/R4). The fixture's
+    crypto (key derivation, /O, /U, per-object keys, forward AES) is an
+    independent implementation of the spec — both AES directions are
+    pinned to the FIPS-197 known-answer vector — so agreement here
+    checks the reader's derivation, not a shared helper."""
     from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
         build_pdf,
     )
@@ -528,6 +530,26 @@ def test_rc4_encrypted_pdf_round_trips(tmp_path, mode):
     f = tmp_path / f"{mode}.pdf"
     f.write_bytes(data)
     assert pdf_file_to_spans(f) == expected
+
+
+def test_aes128_fips197_known_answer():
+    """Both AES implementations (reader InvCipher, fixture forward
+    Cipher) must match the official FIPS-197 Appendix C.1 vector — the
+    absolute pin that keeps the independent pair from agreeing on a
+    shared misunderstanding."""
+    from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+        _aes128_decrypt_block,
+        _aes128_round_keys,
+    )
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        _fx_aes128_encrypt_block,
+    )
+
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert _fx_aes128_encrypt_block(key, pt) == ct
+    assert _aes128_decrypt_block(_aes128_round_keys(key), ct) == pt
 
 
 def test_password_protected_pdf_still_quarantines(tmp_path):

@@ -170,10 +170,10 @@ def test_pdf_build_parse_round_trip(pages):
 @settings(max_examples=40, deadline=None)
 @given(
     pages=st.lists(_pdf_page, min_size=1, max_size=3),
-    mode=st.sampled_from(["rc4-40", "rc4-128"]),
+    mode=st.sampled_from(["rc4-40", "rc4-128", "aes-128"]),
 )
 def test_pdf_rc4_encrypted_round_trip_property(pages, mode):
-    """RC4 decryption must be transparent for ANY content: the encrypted
+    """Decryption must be transparent for ANY content: the encrypted
     serialization parses to exactly the rows of its plaintext twin. The
     fixture's crypto is an independent spec implementation, so this
     cross-checks the reader's key derivation over arbitrary stream
