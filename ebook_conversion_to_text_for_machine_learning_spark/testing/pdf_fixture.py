@@ -315,11 +315,12 @@ def _fx_aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _fx_encrypt(bodies: dict, streams: dict, enc_num: int, mode: str) -> bytes:
-    """Encrypt every stream per PDF 32000-1 §7.6.3 (Standard handler,
-    RC4) and install the /Encrypt object. ``mode``: ``rc4-40`` (V1/R2),
-    ``rc4-128`` (V2/R3), ``rc4-locked`` (V2/R3 with a non-empty USER
-    password — the reader must quarantine). Returns the document ID."""
+def _fx_crypt_setup(mode: str):
+    """(doc_id, /Encrypt dict bytes, encrypt_stream(num, data) callable)
+    for a fixture encryption mode — shared by the classic and ObjStm
+    serializers. Modes: ``rc4-40`` (V1/R2), ``rc4-128`` (V2/R3),
+    ``aes-128`` (V4/R4 AESV2), ``rc4-locked`` (non-empty USER password —
+    the reader must quarantine)."""
     import hashlib
 
     locked = mode == "rc4-locked"
@@ -363,37 +364,47 @@ def _fx_encrypt(bodies: dict, streams: dict, enc_num: int, mode: str) -> bytes:
         for i in range(1, 20):
             x = _fx_rc4(bytes(b ^ i for b in key), x)
         u = x + bytes(16)
-    import re as _re
-
-    for num in list(streams):
+    def encrypt_stream(num: int, data: bytes) -> bytes:
         salt = b"sAlT" if aes else b""
         ok = hashlib.md5(
             key + num.to_bytes(3, "little") + b"\x00\x00" + salt
         ).digest()[: min(length + 5, 16)]
         if aes:
             iv = hashlib.md5(b"fixture-iv-%d" % num).digest()
-            streams[num] = _fx_aes128_cbc_encrypt(ok, iv, streams[num])
-            # AES grows the stream (IV + PKCS#7 pad): rewrite /Length.
-            bodies[num] = _re.sub(
-                rb"/Length \d+",
-                b"/Length %d" % len(streams[num]),
-                bodies[num],
-                count=1,
-            )
-        else:
-            streams[num] = _fx_rc4(ok, streams[num])
+            return _fx_aes128_cbc_encrypt(ok, iv, data)
+        return _fx_rc4(ok, data)
+
     if aes:
-        bodies[enc_num] = (
+        enc_body = (
             f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
             f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
             f"/StmF /StdCF /StrF /StdCF "
             f"/O <{o.hex()}> /U <{u.hex()}> /P {p_val} >>"
         ).encode()
     else:
-        bodies[enc_num] = (
+        enc_body = (
             f"<< /Filter /Standard /V {v} /R {r} /Length {length * 8} "
             f"/O <{o.hex()}> /U <{u.hex()}> /P {p_val} >>"
         ).encode()
+    return doc_id, enc_body, encrypt_stream
+
+
+def _fx_encrypt(bodies: dict, streams: dict, enc_num: int, mode: str) -> bytes:
+    """Encrypt every stream in place (classic layout) and install the
+    /Encrypt object; rewrites /Length when the cipher pads (AES).
+    Returns the document ID."""
+    import re as _re
+
+    doc_id, enc_body, encrypt_stream = _fx_crypt_setup(mode)
+    for num in list(streams):
+        streams[num] = encrypt_stream(num, streams[num])
+        bodies[num] = _re.sub(
+            rb"/Length \d+",
+            b"/Length %d" % len(streams[num]),
+            bodies[num],
+            count=1,
+        )
+    bodies[enc_num] = enc_body
     return doc_id
 
 
@@ -414,8 +425,6 @@ def build_pdf(
     ``encrypt``: None, or ``rc4-40`` / ``rc4-128`` / ``rc4-locked``
     (classic layout only).
     """
-    if encrypt and objstm:
-        raise ValueError("encrypt supported on the classic layout only")
     # --- object numbering: 1 Catalog, 2 Pages, 3 Font, then per page:
     # page, content, images...
     next_num = 4
@@ -523,7 +532,7 @@ def build_pdf(
 
     if objstm:
         return (
-            _serialize_objstm(bodies, streams, corrupt_objstm),
+            _serialize_objstm(bodies, streams, corrupt_objstm, encrypt=encrypt),
             image_nums,
         )
 
@@ -604,13 +613,47 @@ def _png_up_predict(rows: bytes, rowlen: int) -> bytes:
 
 
 def _serialize_objstm(
-    bodies: Dict[int, bytes], streams: Dict[int, bytes], corrupt: bool
+    bodies: Dict[int, bytes],
+    streams: Dict[int, bytes],
+    corrupt: bool,
+    encrypt: Optional[str] = None,
 ) -> bytes:
     """PDF 1.5 serialization: non-stream objects pack into one ObjStm;
     the file ends in an xref STREAM (W [1 4 2], FlateDecode + PNG Up
-    predictor) — no classic table, no classic trailer."""
-    packed = [n for n in sorted(bodies) if n not in streams]
+    predictor) — no classic table, no classic trailer.
+
+    ``encrypt`` produces the full modern encrypted shape (xref stream +
+    ObjStm + RC4/AES): direct streams AND the ObjStm's own compressed
+    stream are enciphered (members inside an ObjStm are never encrypted
+    individually, §7.6.2); the /Encrypt dictionary is serialized as a
+    DIRECT object (it may not live in an object stream) and the xref
+    stream stays plaintext per spec."""
+    import re as _re
+
+    enc_stream = None
+    enc_num = None
+    xref_extra = ""
+    if encrypt:
+        doc_id, enc_body, enc_stream = _fx_crypt_setup(encrypt)
+        enc_num = max(bodies) + 1
+        bodies[enc_num] = enc_body
+        xref_extra = (
+            f" /Encrypt {enc_num} 0 R /ID [<{doc_id.hex()}> <{doc_id.hex()}>]"
+        )
+        for num in list(streams):
+            streams[num] = enc_stream(num, streams[num])
+            bodies[num] = _re.sub(
+                rb"/Length \d+",
+                b"/Length %d" % len(streams[num]),
+                bodies[num],
+                count=1,
+            )
+    packed = [
+        n for n in sorted(bodies) if n not in streams and n != enc_num
+    ]
     direct = [n for n in sorted(bodies) if n in streams]
+    if enc_num is not None:
+        direct.append(enc_num)
     stm_num = max(bodies) + 1
     xref_num = stm_num + 1
 
@@ -634,12 +677,21 @@ def _serialize_objstm(
         f"/Filter /FlateDecode /Length {len(data_stm)} >>"
     ).encode()
 
+    if enc_stream is not None and not corrupt:
+        data_stm = enc_stream(stm_num, data_stm)
+        stm_body = (
+            f"<< /Type /ObjStm /N {len(packed)} /First {first} "
+            f"/Filter /FlateDecode /Length {len(data_stm)} >>"
+        ).encode()
+
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets: Dict[int, int] = {}
     for num in direct:
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + bodies[num]
-        out += b"\nstream\n" + streams[num] + b"\nendstream\nendobj\n"
+        if num in streams:
+            out += b"\nstream\n" + streams[num] + b"\nendstream"
+        out += b"\nendobj\n"
     offsets[stm_num] = len(out)
     out += f"{stm_num} 0 obj\n".encode() + stm_body
     out += b"\nstream\n" + data_stm + b"\nendstream\nendobj\n"
@@ -663,7 +715,7 @@ def _serialize_objstm(
     xdata = zlib.compress(_png_up_predict(bytes(rows), rowlen))
     out += f"{xref_num} 0 obj\n".encode()
     out += (
-        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R{xref_extra} "
         f"/Filter /FlateDecode "
         f"/DecodeParms << /Predictor 12 /Columns {rowlen} >> "
         f"/Length {len(xdata)} >>"

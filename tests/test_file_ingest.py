@@ -532,6 +532,31 @@ def test_encrypted_pdf_round_trips(tmp_path, mode):
     assert pdf_file_to_spans(f) == expected
 
 
+@pytest.mark.parametrize("mode", ["rc4-128", "aes-128"])
+def test_encrypted_objstm_pdf_round_trips(tmp_path, mode):
+    """The shape modern encrypted PDFs actually ship: xref STREAM +
+    ObjStm + encryption. The ObjStm's own stream is enciphered (members
+    are never encrypted individually), the /Encrypt dict stays a direct
+    object, and the xref stream stays plaintext — decryption must be
+    fully transparent, image spans included."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    pages = [["Chapter One", "Body text."], [("img",), "Page two."]]
+    plain_bytes, _ = build_pdf(pages, objstm=True)
+    f0 = tmp_path / "plain.pdf"
+    f0.write_bytes(plain_bytes)
+    expected = pdf_file_to_spans(f0)
+    assert any(k == "img" for k, _t, _r, _o in expected)
+
+    enc, _ = build_pdf(pages, objstm=True, encrypt=mode)
+    assert enc != plain_bytes and b"/Encrypt" in enc
+    f = tmp_path / f"objstm_{mode}.pdf"
+    f.write_bytes(enc)
+    assert pdf_file_to_spans(f) == expected
+
+
 def test_aes128_fips197_known_answer():
     """Both AES implementations (reader InvCipher, fixture forward
     Cipher) must match the official FIPS-197 Appendix C.1 vector — the
