@@ -626,6 +626,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fingerprints"] = fingerprints
 
+    def bpe_pair_counts(spark, sf_dir):
+        return T.bpe_pair_counts(read_table(spark, sf_dir, "documents"), min_count=2)
+
+    q["bpe_pair_counts"] = bpe_pair_counts
+
     def tfidf_top_terms(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
         return T.tfidf_top_terms(docs, k=5)
@@ -1945,6 +1950,13 @@ SELECT source, n_tokens, weight, target_tokens,
   CAST(CASE WHEN n_tokens > 0 THEN least(10000, (target_tokens * 10000) // n_tokens) ELSE 0 END AS BIGINT) AS sample_rate_x10k,
   CAST(CASE WHEN n_tokens > 0 THEN (target_tokens * 10000) // n_tokens ELSE 0 END AS BIGINT) AS epochs_x10k
 FROM p"""
+
+    o["bpe_pair_counts"] = f"""
+WITH t AS (SELECT {tokens} AS toks FROM documents),
+w AS (SELECT unnest(toks) AS tok FROM t),
+i AS (SELECT tok, unnest(range(1, length(tok))) AS pos FROM w WHERE length(tok) >= 2)
+SELECT substr(tok, pos, 2) AS pair, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM i GROUP BY substr(tok, pos, 2) HAVING count(*) >= 2"""
 
     o["domain_affinity"] = f"""
 WITH t AS (SELECT doc_id, source, {tokens} AS toks FROM documents),

@@ -99,6 +99,7 @@ def main() -> None:
         "language_id",
         "fingerprints",
         "tfidf_top_terms",
+        "bpe_pair_counts",
         "cosine_topk",
         "knn_label_vote",
         "lsh_ann_topk",

@@ -191,6 +191,40 @@ def tfidf_top_terms(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame, *, min_count: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """One distributed iteration of BPE vocabulary induction: count
+    adjacent character pairs INSIDE whitespace tokens, corpus-wide. The
+    pair-count table is the object every BPE trainer iterates on — at
+    lake scale the counting pass is the cost, and it is exactly this
+    shape: explode to narrow pair strings, ONE partial-agg hash
+    aggregate (a pair occurring billions of times collapses map-side),
+    ``min_count`` bounding the output to the trainable tail. A driver
+    loop picks argmax and re-runs with merged symbols; the per-iteration
+    Spark plan is identical.
+
+    Returns (pair, n_occurrences) for every 2-char sequence with at
+    least ``min_count`` corpus occurrences.
+    """
+    toks = df.select(
+        F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).where(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
 def ngrams_col(text: Column, n: int) -> Column:
     """Word n-grams WITH repeats (unlike ``dedup.shingles_col``, which is
     distinct) — repetition measurement needs the multiplicities."""

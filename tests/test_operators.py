@@ -1319,6 +1319,24 @@ def test_gram_novelty_first_owner_by_doc_id(spark):
     assert (rows[4].n_grams, rows[4].n_novel, rows[4].novelty_x10k) == (0, 0, 0)
 
 
+def test_bpe_pair_counts_hand_checked(spark):
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.text_stats import (
+        bpe_pair_counts,
+    )
+
+    df = _docs_df(
+        spark,
+        [
+            (1, "en", "abab ab"),  # "abab": ab, ba, ab; "ab": ab → ab×3 ba×1
+            (2, "en", "ba x"),  # ba×1; "x" too short for any pair
+        ],
+    )
+    rows = {r.pair: r.n_occurrences for r in bpe_pair_counts(df, min_count=1).collect()}
+    assert rows == {"ab": 3, "ba": 2}
+    # min_count prunes the tail.
+    assert {r.pair for r in bpe_pair_counts(df, min_count=3).collect()} == {"ab"}
+
+
 def test_repeated_passages_finds_cross_doc_windows(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
         repeated_passages,
