@@ -1535,13 +1535,30 @@ def pq_adc_rerank_topk(
     Returns (probe_id, item_id, cosine, rank) — same contract as
     ``cosine_topk``, ranking (round(cos,4) DESC, item_id ASC).
     """
-    from pyspark.sql.window import Window
-
     r = shortlist if shortlist is not None else 5 * k
     sl = pq_adc_topk(
         corpus, probes, codebooks, k=r, vec_col=vec_col, id_col=id_col,
         codes=codes, probe_path=probe_path,
     ).select("probe_id", "item_id")
+    return _exact_rerank(corpus, probes, sl, k, vec_col=vec_col, id_col=id_col)
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    probes: DataFrame,
+    sl: DataFrame,
+    k: int,
+    *,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact cosine re-rank of a (probe_id, item_id) shortlist: candidate
+    vectors fetched with a broadcast semi-join (the raw-vector table is
+    scanned column-pruned, never shuffled, never crossed with the probe
+    set), ranked (round(cos,4) DESC, item_id ASC). Shared by every
+    PQ-backed search (``pq_adc_rerank_topk``, ``ivfpq_topk``)."""
+    from pyspark.sql.window import Window
+
     cand_vecs = corpus.select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec")
     ).join(F.broadcast(sl.select("item_id").distinct()), "item_id", "left_semi")
@@ -1694,25 +1711,4 @@ def ivfpq_topk(
         .where(F.col("_r") <= r)
         .select("probe_id", "item_id")
     )
-    cand_vecs = corpus.select(
-        F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec")
-    ).join(F.broadcast(sl.select("item_id").distinct()), "item_id", "left_semi")
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
-    )
-    cosine = F.round(
-        _dot(F.col("probe_vec"), F.col("item_vec"))
-        / (_norm(F.col("probe_vec")) * _norm(F.col("item_vec"))),
-        4,
-    )
-    scored = (
-        cand_vecs.join(F.broadcast(sl), "item_id")
-        .join(F.broadcast(p), "probe_id")
-        .select("probe_id", "item_id", cosine.alias("cosine"))
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("item_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("probe_id", "item_id", "cosine", "rank")
-    )
+    return _exact_rerank(corpus, probes, sl, k, vec_col=vec_col, id_col=id_col)
