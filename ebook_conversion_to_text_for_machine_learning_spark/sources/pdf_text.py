@@ -41,14 +41,14 @@ its golden-test PDFs produce, one text box per line).
 
 Encrypted files: the Standard security handler decrypts when the EMPTY
 user password opens the file — the common owner-restricted case — for
-both legacy RC4 (V 1-2 / R 2-3, 40-128 bit) and AES-128 (V 4 / R 4,
-AESV2 crypt filter; pure-stdlib InvCipher pinned to the FIPS-197
-known-answer vector). Password-protected files and AESV3/R6 (AES-256)
-quarantine.
+legacy RC4 (V 1-2 / R 2-3, 40-128 bit), AES-128 (V 4 / R 4, AESV2) and
+AES-256 (V 5 / R 5-6, AESV3 with the ISO 32000-2 hardened hash). All
+cipher cores are pure stdlib, pinned to the FIPS-197 C.1/C.3
+known-answer vectors. Password-protected files quarantine.
 
-Not handled (use the pdfminer path for these): AES-256 files, CID
-fonts WITHOUT a ToUnicode CMap (raw CIDs are font-program-specific), and
-glyph repositioning via ``Tm`` with rotation.
+Not handled (use the pdfminer path for these): CID fonts WITHOUT a
+ToUnicode CMap (raw CIDs are font-program-specific) and glyph
+repositioning via ``Tm`` with rotation.
 """
 
 from __future__ import annotations
@@ -420,25 +420,126 @@ def _aes_tables():
 _AES_SBOX, _AES_INV_SBOX = _aes_tables()
 
 
-def _aes128_round_keys(key: bytes):
-    """FIPS-197 key expansion: 11 round keys of 16 bytes."""
-    assert len(key) == 16
-    words = [key[i : i + 4] for i in range(0, 16, 4)]
+def _aes_round_keys(key: bytes):
+    """FIPS-197 key expansion for AES-128 (Nk=4, Nr=10) and AES-256
+    (Nk=8, Nr=14): Nr+1 round keys of 16 bytes."""
+    nk = len(key) // 4
+    assert nk in (4, 8)
+    nr = 10 if nk == 4 else 14
+    words = [key[i : i + 4] for i in range(0, len(key), 4)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = words[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = bytes(
                 (_AES_SBOX[t[1]] ^ rcon, _AES_SBOX[t[2]], _AES_SBOX[t[3]], _AES_SBOX[t[0]])
             )
             rcon = _gf_mul(rcon, 2)
-        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
-    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(11)]
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_AES_SBOX[b] for b in t)
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], t)))
+    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1)]
+
+
+#: Backwards-compatible alias (tests pin the FIPS vector through it).
+_aes128_round_keys = _aes_round_keys
+
+
+def _aes_encrypt_block(rk: list, block: bytes) -> bytes:
+    """FIPS-197 forward Cipher — the reader needs it for the R6 hardened
+    key-derivation hash (2.B runs AES-128-CBC ENcryption internally)."""
+    nr = len(rk) - 1
+    s = bytes(a ^ b for a, b in zip(block, rk[0]))
+
+    def sub_shift(st: bytes) -> bytearray:
+        out = bytearray(16)
+        for c in range(4):
+            for r in range(4):
+                out[c * 4 + r] = _AES_SBOX[st[((c + r) % 4) * 4 + r]]
+        return out
+
+    for rnd in range(1, nr):
+        s = sub_shift(s)
+        out = bytearray(16)
+        for c in range(4):
+            col = s[c * 4 : c * 4 + 4]
+            out[c * 4 + 0] = _gf_mul(col[0], 2) ^ _gf_mul(col[1], 3) ^ col[2] ^ col[3]
+            out[c * 4 + 1] = col[0] ^ _gf_mul(col[1], 2) ^ _gf_mul(col[2], 3) ^ col[3]
+            out[c * 4 + 2] = col[0] ^ col[1] ^ _gf_mul(col[2], 2) ^ _gf_mul(col[3], 3)
+            out[c * 4 + 3] = _gf_mul(col[0], 3) ^ col[1] ^ col[2] ^ _gf_mul(col[3], 2)
+        s = bytes(a ^ b for a, b in zip(out, rk[rnd]))
+    s = sub_shift(s)
+    return bytes(a ^ b for a, b in zip(s, rk[nr]))
+
+
+def _aes_enc_tables():
+    """Classic T-tables: T0[x] packs SubBytes+MixColumns for a row-0 byte
+    ([2s, s, s, 3s] big-endian); T1..T3 are byte rotations for rows 1-3."""
+    t0 = []
+    for x in range(256):
+        s = _AES_SBOX[x]
+        s2 = _gf_mul(s, 2)
+        t0.append((s2 << 24) | (s << 16) | (s << 8) | (s2 ^ s))
+    ts = [t0]
+    for _ in range(3):
+        ts.append([((w >> 8) | ((w & 0xFF) << 24)) & 0xFFFFFFFF for w in ts[-1]])
+    return ts
+
+
+_AES_T = _aes_enc_tables()
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt WITHOUT padding (KDF internal; len(data) % 16 == 0).
+
+    T-table formulation, not the readable ``_aes_encrypt_block``: the R6
+    hardened hash runs ~10-16k block encryptions per derivation and the
+    byte-wise cipher costs ~300µs/block in pure Python (4.2s per 2.B
+    call, two calls per encrypted file). The tables cut that ~20×.
+    Correctness is pinned two ways: the FIPS-197 C.1/C.3 vectors and a
+    randomized equivalence test against the byte-wise cipher.
+    """
+    t0, t1, t2, t3 = _AES_T
+    sbox = _AES_SBOX
+    rk = _aes_round_keys(key)
+    nr = len(rk) - 1
+    rkw = [
+        [int.from_bytes(k[i : i + 4], "big") for i in range(0, 16, 4)] for k in rk
+    ]
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[off : off + 16], prev))
+        k0 = rkw[0]
+        s = [int.from_bytes(blk[i : i + 4], "big") ^ k0[j] for j, i in enumerate(range(0, 16, 4))]
+        for rnd in range(1, nr):
+            k = rkw[rnd]
+            s = [
+                t0[(s[0] >> 24) & 255] ^ t1[(s[1] >> 16) & 255] ^ t2[(s[2] >> 8) & 255] ^ t3[s[3] & 255] ^ k[0],
+                t0[(s[1] >> 24) & 255] ^ t1[(s[2] >> 16) & 255] ^ t2[(s[3] >> 8) & 255] ^ t3[s[0] & 255] ^ k[1],
+                t0[(s[2] >> 24) & 255] ^ t1[(s[3] >> 16) & 255] ^ t2[(s[0] >> 8) & 255] ^ t3[s[1] & 255] ^ k[2],
+                t0[(s[3] >> 24) & 255] ^ t1[(s[0] >> 16) & 255] ^ t2[(s[1] >> 8) & 255] ^ t3[s[2] & 255] ^ k[3],
+            ]
+        k = rkw[nr]
+        prev_b = bytearray(16)
+        for j in range(4):
+            w = (
+                (sbox[(s[j] >> 24) & 255] << 24)
+                | (sbox[(s[(j + 1) % 4] >> 16) & 255] << 16)
+                | (sbox[(s[(j + 2) % 4] >> 8) & 255] << 8)
+                | sbox[s[(j + 3) % 4] & 255]
+            ) ^ k[j]
+            prev_b[4 * j : 4 * j + 4] = w.to_bytes(4, "big")
+        prev = bytes(prev_b)
+        out += prev
+    return bytes(out)
 
 
 def _aes128_decrypt_block(rk: list, block: bytes) -> bytes:
-    """FIPS-197 InvCipher over one 16-byte block (state in column order)."""
-    s = bytearray(a ^ b for a, b in zip(block, rk[10]))
+    """FIPS-197 InvCipher over one 16-byte block (state in column order);
+    handles both 128-bit (11 round keys) and 256-bit (15) schedules."""
+    nr = len(rk) - 1
+    s = bytearray(a ^ b for a, b in zip(block, rk[nr]))
 
     def inv_shift_sub(st: bytearray) -> bytearray:
         out = bytearray(16)
@@ -448,7 +549,7 @@ def _aes128_decrypt_block(rk: list, block: bytes) -> bytes:
                 out[((c + r) % 4) * 4 + r] = _AES_INV_SBOX[st[c * 4 + r]]
         return out
 
-    for rnd in range(9, 0, -1):
+    for rnd in range(nr - 1, 0, -1):
         s = inv_shift_sub(s)
         s = bytearray(a ^ b for a, b in zip(s, rk[rnd]))
         # InvMixColumns
@@ -492,6 +593,39 @@ def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     return bytes(out[:-pad])
 
 
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 algorithm 2.B hardened hash (R6): iterated
+    SHA-256/384/512 selected by an AES-128-CBC mix. At least 64 rounds,
+    terminating when the mix's last byte <= round − 32. (The spec's
+    "first 16 bytes of E as a big-endian integer mod 3" equals the byte
+    SUM mod 3 because 256 ≡ 1 (mod 3).)"""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt without padding (the 32-byte /UE unwrap)."""
+    rk = _aes_round_keys(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes128_decrypt_block(rk, block), prev))
+        prev = block
+    return bytes(out)
+
+
 def _std_empty_password_scheme(enc: dict, doc_id: bytes):
     """(file key, stream cipher) for the Standard security handler when
     the EMPTY user password opens the file — the overwhelmingly common
@@ -513,6 +647,33 @@ def _std_empty_password_scheme(enc: dict, doc_id: bytes):
     v = enc.get("V", 0)
     r = enc.get("R", 0)
     method = None
+    if v == 5 and r in (5, 6):
+        # AES-256: /U = hash(32) || validation salt(8) || key salt(8);
+        # the file key unwraps from /UE with the intermediate key. R5 is
+        # Adobe's interim plain-SHA-256 derivation, R6 the ISO hardened
+        # hash (2.A/2.B). No per-object keys under AESV3.
+        import hashlib
+
+        cf = enc.get("CF")
+        stdcf = cf.get("StdCF") if isinstance(cf, dict) else None
+        cfm = str(stdcf.get("CFM")) if isinstance(stdcf, dict) else ""
+        if cfm != "AESV3" or str(enc.get("StmF", "Identity")) != "StdCF":
+            return None
+        u = enc.get("U")
+        ue = enc.get("UE")
+        if not isinstance(u, bytes) or len(u) < 48 or not isinstance(ue, bytes):
+            return None
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 6:
+            check = _hash_2b(b"", vsalt)
+            ikey = _hash_2b(b"", ksalt)
+        else:
+            check = hashlib.sha256(vsalt).digest()
+            ikey = hashlib.sha256(ksalt).digest()
+        if check != u[:32]:
+            return None  # a real user password is required
+        file_key = _aes_cbc_decrypt_nopad(ikey, bytes(16), ue[:32])
+        return (file_key, "aesv3")
     if v in (1, 2) and r in (2, 3):
         method = "rc4"
         length = int(enc.get("Length", 40)) // 8 if v == 2 else 5
@@ -654,7 +815,9 @@ class _PdfFile:
                 continue
             if str(body.get("Type")) == "XRef":
                 continue
-            if method == "aesv2":
+            if method == "aesv3":  # AES-256: the file key is used directly
+                plain = _aes128_cbc_decrypt(key, stream)
+            elif method == "aesv2":
                 plain = _aes128_cbc_decrypt(_object_key(key, num, aes=True), stream)
             else:
                 plain = _rc4(_object_key(key, num), stream)

@@ -260,14 +260,17 @@ _FX_SBOX = _fx_sbox()
 
 
 def _fx_aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
-    """FIPS-197 forward Cipher — the fixture's own implementation (the
-    reader carries the InvCipher; both are pinned against the official
-    C.1 known-answer vector, so they cross-check rather than cancel)."""
-    words = [key[i : i + 4] for i in range(0, 16, 4)]
+    """FIPS-197 forward Cipher for 128- AND 256-bit keys — the fixture's
+    own implementation (the reader carries the InvCipher; both are
+    pinned against the official C.1/C.3 known-answer vectors, so they
+    cross-check rather than cancel)."""
+    nk = len(key) // 4
+    nr = 10 if nk == 4 else 14
+    words = [key[i : i + 4] for i in range(0, len(key), 4)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = words[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = bytes(
                 (
                     _FX_SBOX[t[1]] ^ rcon,
@@ -277,8 +280,10 @@ def _fx_aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
                 )
             )
             rcon = _fx_gf_mul(rcon, 2)
-        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
-    rk = [b"".join(words[4 * r : 4 * r + 4]) for r in range(11)]
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_FX_SBOX[b] for b in t)
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], t)))
+    rk = [b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1)]
 
     def sub_shift(st: bytes) -> bytearray:
         out = bytearray(16)
@@ -289,7 +294,7 @@ def _fx_aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
         return out
 
     s = bytes(a ^ b for a, b in zip(block, rk[0]))
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = sub_shift(s)
         out = bytearray(16)
         for c in range(4):
@@ -300,7 +305,7 @@ def _fx_aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
             out[c * 4 + 3] = _fx_gf_mul(col[0], 3) ^ col[1] ^ col[2] ^ _fx_gf_mul(col[3], 2)
         s = bytes(a ^ b for a, b in zip(out, rk[rnd]))
     s = sub_shift(s)
-    return bytes(a ^ b for a, b in zip(s, rk[10]))
+    return bytes(a ^ b for a, b in zip(s, rk[nr]))
 
 
 def _fx_aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -319,9 +324,14 @@ def _fx_crypt_setup(mode: str):
     """(doc_id, /Encrypt dict bytes, encrypt_stream(num, data) callable)
     for a fixture encryption mode — shared by the classic and ObjStm
     serializers. Modes: ``rc4-40`` (V1/R2), ``rc4-128`` (V2/R3),
-    ``aes-128`` (V4/R4 AESV2), ``rc4-locked`` (non-empty USER password —
-    the reader must quarantine)."""
+    ``aes-128`` (V4/R4 AESV2), ``aes-256`` (V5/R6 AESV3, ISO 32000-2
+    hardened hash), and the locked variants ``rc4-locked`` /
+    ``aes-256-locked`` (non-empty USER password — the reader must
+    quarantine)."""
     import hashlib
+
+    if mode in ("aes-256", "aes-256-locked"):
+        return _fx_crypt_setup_r6(locked=mode.endswith("locked"))
 
     locked = mode == "rc4-locked"
     aes = mode == "aes-128"
@@ -386,6 +396,94 @@ def _fx_crypt_setup(mode: str):
             f"<< /Filter /Standard /V {v} /R {r} /Length {length * 8} "
             f"/O <{o.hex()}> /U <{u.hex()}> /P {p_val} >>"
         ).encode()
+    return doc_id, enc_body, encrypt_stream
+
+
+def _fx_hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Fixture twin of the ISO 32000-2 algorithm 2.B hardened hash."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _fx_aes128_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _fx_aes128_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = _fx_aes128_encrypt_block(
+            key, bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        )
+        out += prev
+    return bytes(out)
+
+
+@__import__("functools").lru_cache(maxsize=2)
+def _fx_r6_material(locked: bool):
+    """Deterministic R6 key material, computed ONCE per process: the
+    fixture's 2.B twin stays the slow byte-wise cipher on purpose
+    (independence from the reader's T-table path), so the four ~5s
+    derivations are cached."""
+    import hashlib
+
+    user_pwd = b"secret" if locked else b""
+    owner_pwd = b"owner"
+    file_key = hashlib.sha256(b"engine-fixture-file-key").digest()
+    vsalt, ksalt = b"VSALT001", b"KSALT001"
+    ovsalt, oksalt = b"OVSALT01", b"OKSALT01"
+    u = _fx_hash_2b(user_pwd, vsalt) + vsalt + ksalt
+    ue = _fx_aes128_cbc_encrypt_nopad(
+        _fx_hash_2b(user_pwd, ksalt), bytes(16), file_key
+    )
+    o = _fx_hash_2b(owner_pwd, ovsalt, u) + ovsalt + oksalt
+    oe = _fx_aes128_cbc_encrypt_nopad(
+        _fx_hash_2b(owner_pwd, oksalt, u), bytes(16), file_key
+    )
+    return file_key, u, ue, o, oe
+
+
+def _fx_crypt_setup_r6(*, locked: bool):
+    """AES-256 / V5 / R6 fixture: U = 2.B-hash(user pwd, vsalt) ||
+    vsalt || ksalt; UE wraps the random file key under the 2.B
+    intermediate key; O/OE computed honestly from the owner password
+    with U as udata; /Perms is the AES-ECB(P record) the spec asks for
+    (the reader does not consult it). ``locked`` signs U with a real
+    user password so the reader's empty-password check must fail."""
+    import hashlib
+
+    doc_id = hashlib.md5(b"engine-pdf-fixture-id").digest()
+    file_key, u, ue, o, oe = _fx_r6_material(locked)
+    p_val = -44
+    perms_rec = (
+        (p_val & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff"
+        + b"Tadb"
+        + b"fix0"
+    )
+    # Single 16-byte block: CBC with a zero IV == the ECB block the spec
+    # specifies for /Perms.
+    perms = _fx_aes128_cbc_encrypt_nopad(file_key, bytes(16), perms_rec)
+
+    def encrypt_stream(num: int, data: bytes) -> bytes:
+        iv = hashlib.md5(b"fixture-iv-%d" % num).digest()
+        return _fx_aes128_cbc_encrypt(file_key, iv, data)
+
+    enc_body = (
+        f"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+        f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+        f"/StmF /StdCF /StrF /StdCF "
+        f"/O <{o.hex()}> /U <{u.hex()}> /OE <{oe.hex()}> /UE <{ue.hex()}> "
+        f"/Perms <{perms.hex()}> /P {p_val} >>"
+    ).encode()
     return doc_id, enc_body, encrypt_stream
 
 

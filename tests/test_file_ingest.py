@@ -505,7 +505,7 @@ def test_inline_image_binary_does_not_leak_into_text(tmp_path):
     ]
 
 
-@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128"])
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128", "aes-256"])
 def test_encrypted_pdf_round_trips(tmp_path, mode):
     """Standard-handler files with an empty user password
     (owner-restricted — the common real-shelf case) must extract the
@@ -532,7 +532,7 @@ def test_encrypted_pdf_round_trips(tmp_path, mode):
     assert pdf_file_to_spans(f) == expected
 
 
-@pytest.mark.parametrize("mode", ["rc4-128", "aes-128"])
+@pytest.mark.parametrize("mode", ["rc4-128", "aes-128", "aes-256"])
 def test_encrypted_objstm_pdf_round_trips(tmp_path, mode):
     """The shape modern encrypted PDFs actually ship: xref STREAM +
     ObjStm + encryption. The ObjStm's own stream is enciphered (members
@@ -587,11 +587,12 @@ def test_password_protected_pdf_still_quarantines(tmp_path):
         build_pdf,
     )
 
-    data, _ = build_pdf([["Top secret."]], encrypt="rc4-locked")
-    f = tmp_path / "locked.pdf"
-    f.write_bytes(data)
-    with pytest.raises(PDFConversionError, match="encrypt"):
-        pdf_file_to_spans(f)
+    for mode in ("rc4-locked", "aes-256-locked"):
+        data, _ = build_pdf([["Top secret."]], encrypt=mode)
+        f = tmp_path / f"locked_{mode}.pdf"
+        f.write_bytes(data)
+        with pytest.raises(PDFConversionError, match="encrypt"):
+            pdf_file_to_spans(f)
 
 
 def test_encrypted_pdf_quarantines_not_mojibake(tmp_path):

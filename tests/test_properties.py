@@ -170,7 +170,7 @@ def test_pdf_build_parse_round_trip(pages):
 @settings(max_examples=40, deadline=None)
 @given(
     pages=st.lists(_pdf_page, min_size=1, max_size=3),
-    mode=st.sampled_from(["rc4-40", "rc4-128", "aes-128"]),
+    mode=st.sampled_from(["rc4-40", "rc4-128", "aes-128", "aes-256"]),
 )
 def test_pdf_rc4_encrypted_round_trip_property(pages, mode):
     """Decryption must be transparent for ANY content: the encrypted
