@@ -289,37 +289,123 @@ def gram_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("doc_id", F.md5("_g").alias("gram_hash"))
 
 
+#: Hex-prefix width for the index tables' ``pfx`` partition column: 2 hex
+#: chars → 256 partitions per batch. Wide enough that a small probe batch
+#: prunes most index files, narrow enough that a batch write doesn't
+#: scatter into thousands of tiny files.
+_PFX_HEX_CHARS = 2
+
+
+def _hex_pfx(col: Column) -> Column:
+    """Integer partition key from a hex string's leading chars (0..255).
+
+    An INT (via ``conv``) instead of the raw 2-char slice because parquet
+    partition-value type inference is content-dependent: a small corpus
+    whose realized prefixes happen to all look numeric ("12", "07") reads
+    back as int while a mixed one reads back as string — and a probe-side
+    ``isin`` against the wrong type silently prunes everything.
+    """
+    return F.conv(F.substring(col, 1, _PFX_HEX_CHARS), 16, 10).cast("int")
+
+
+def _index_tables(df: DataFrame, batch_id: int, text_col: str):
+    """(bands, grams, counts) frames for one batch, with partition cols."""
+    bid = F.lit(batch_id).cast("int")
+    bands = (
+        minhash_bands(minhash_signatures(df, text_col))
+        .withColumn("batch_id", bid)
+        .withColumn("pfx", _hex_pfx(F.col("bucket")))
+    )
+    grams = (
+        gram_hashes(df, text_col)
+        .withColumn("batch_id", bid)
+        .withColumn("pfx", _hex_pfx(F.col("gram_hash")))
+    )
+    counts = (
+        gram_hashes(df, text_col)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_grams"))
+        .withColumn("batch_id", bid)
+    )
+    return bands, grams, counts
+
+
 def write_minhash_index(df: DataFrame, path: str, *, text_col: str = "text") -> None:
     """Persist a corpus's near-dup index for INCREMENTAL dedup.
 
     Three narrow parquet tables under ``path``: ``bands/`` — the LSH
     band table ``(doc_id, band_id, bucket)`` that generates candidates —
     ``grams/`` — ``gram_hashes`` rows that verify them with exact
-    Jaccard — and ``counts/`` — per-doc gram totals, derived from the
-    just-written ``grams/`` with one narrow scan so query time never
+    Jaccard — and ``counts/`` — per-doc gram totals, so query time never
     aggregates the corpus-scale gram table (the batch's few candidates
     join the tiny counts table instead). Storing hashes instead of gram
     arrays keeps the index a fraction of corpus size, and the verify
     runs as a partial-agg hash join, never re-reading the indexed
-    corpus's text. Overwrite-idempotent, so rebuilding after a corpus
-    append is a plain re-run.
+    corpus's text.
+
+    Layout (all three tables): hive-partitioned by ``batch_id`` — the
+    full-build writes ``batch_id=0``; ``append_to_minhash_index`` grows
+    the index one idempotent batch partition at a time — and ``bands/``
+    and ``grams/`` additionally by ``pfx``, a 256-way hex prefix of the
+    join key (bucket / gram_hash), so ``dedup_against_index`` probes
+    prune index files by partition instead of scanning the corpus-scale
+    tables. Overwrite-idempotent: a full rebuild is a plain re-run.
     """
     base = path.rstrip("/")
-    sigs = minhash_signatures(df, text_col)
-    minhash_bands(sigs).write.mode("overwrite").parquet(f"{base}/bands")
-    gram_hashes(df, text_col).write.mode("overwrite").parquet(f"{base}/grams")
-    spark = df.sparkSession
-    (
-        spark.read.parquet(f"{base}/grams")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_grams"))
-        .write.mode("overwrite")
-        .parquet(f"{base}/counts")
+    bands, grams, counts = _index_tables(df, 0, text_col)
+    bands.write.mode("overwrite").partitionBy("batch_id", "pfx").parquet(
+        f"{base}/bands"
     )
+    grams.write.mode("overwrite").partitionBy("batch_id", "pfx").parquet(
+        f"{base}/grams"
+    )
+    counts.write.mode("overwrite").partitionBy("batch_id").parquet(f"{base}/counts")
+
+
+def append_to_minhash_index(
+    df: DataFrame, path: str, *, batch_id: int, text_col: str = "text"
+) -> None:
+    """Grow a ``write_minhash_index`` index by one batch — O(batch).
+
+    Writes the batch's bands/grams/counts rows into ``batch_id=<id>``
+    partitions with DYNAMIC partition overwrite, so only this batch's
+    partitions are touched: the corpus-scale ``batch_id=0`` build (and
+    every other batch) is never re-read or re-signatured, and replaying
+    a crashed append (at-least-once ingest) rewrites the same partitions
+    instead of appending duplicates — the same idempotency contract as
+    the streaming sidecar (``streaming/curation.py``).
+
+    Contract: ``batch_id`` must be unique per logical batch (> 0; 0 is
+    the full build) and ``df`` must hold only doc_ids NOT already in the
+    index — i.e. the docs ``dedup_against_index`` marked novel. A doc
+    indexed under two batch_ids would double its gram rows and inflate
+    ``n_common``; ``ingest_batch_against_index`` sequences the two calls
+    correctly.
+    """
+    if batch_id == 0:
+        raise ValueError("batch_id 0 is reserved for the full build")
+    base = path.rstrip("/")
+    bands, grams, counts = _index_tables(df, batch_id, text_col)
+    for frame, table, parts in (
+        (bands, "bands", ["batch_id", "pfx"]),
+        (grams, "grams", ["batch_id", "pfx"]),
+        (counts, "counts", ["batch_id"]),
+    ):
+        (
+            frame.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(f"{base}/{table}")
+        )
 
 
 def dedup_against_index(
-    spark, batch: DataFrame, path: str, *, text_col: str = "text"
+    spark,
+    batch: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    exclude_batch_id: int | None = None,
 ) -> DataFrame:
     """Near-dup flag a NEW batch against a ``write_minhash_index`` corpus.
 
@@ -336,14 +422,33 @@ def dedup_against_index(
     the two per-doc gram counts). Same acceptance rule as
     ``minhash_verified_dedup``: ``2 * n_common >= n_union`` (J >= 0.5).
 
+    Index-side scans PARTITION-PRUNE on the batch's realized ``pfx``
+    sets: the batch bands/grams are materialized once (localCheckpoint —
+    they feed two consumers each), their distinct hex prefixes collected
+    (bounded: ≤256 ints each), and pushed as partition filters on
+    ``bands/`` and ``grams/`` — a small probe batch reads a handful of
+    index files instead of the corpus-scale tables. ``exclude_batch_id``
+    additionally prunes that batch's own partitions, so an at-least-once
+    replay of ingest batch N never sees the half-appended rows of its
+    failed attempt (which would flag every replayed doc as a dup of
+    itself and lose it).
+
     Returns (doc_id, dup_of, n_common, n_union) — one row per verified
     (batch, indexed) pair; batch docs with no row are novel.
     """
     base = path.rstrip("/")
     idx_bands = spark.read.parquet(f"{base}/bands")
     idx_grams = spark.read.parquet(f"{base}/grams")
+    if exclude_batch_id is not None:
+        idx_bands = idx_bands.where(F.col("batch_id") != exclude_batch_id)
+        idx_grams = idx_grams.where(F.col("batch_id") != exclude_batch_id)
 
-    b_bands = minhash_bands(minhash_signatures(batch, text_col))
+    b_bands = minhash_bands(minhash_signatures(batch, text_col)).localCheckpoint()
+    band_pfx = [
+        r[0]
+        for r in b_bands.select(_hex_pfx(F.col("bucket")).alias("p")).distinct().collect()
+    ]
+    idx_bands = idx_bands.where(F.col("pfx").isin(band_pfx or [-1]))
     cands = (
         b_bands.alias("b")
         .join(
@@ -357,16 +462,24 @@ def dedup_against_index(
         )
         .distinct()
     )
-    b_grams = gram_hashes(batch, text_col)
+    b_grams = gram_hashes(batch, text_col).localCheckpoint()
+    gram_pfx = [
+        r[0]
+        for r in b_grams.select(_hex_pfx(F.col("gram_hash")).alias("p"))
+        .distinct()
+        .collect()
+    ]
+    idx_grams = idx_grams.where(F.col("pfx").isin(gram_pfx or [-1]))
     n_batch = b_grams.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("_nb")
     )
     # Index-side totals come from the precomputed counts/ table — never a
     # corpus-scale aggregate of grams/ at query time (that would break
     # the cost-scales-with-the-batch contract).
-    n_idx = spark.read.parquet(f"{base}/counts").select(
-        "doc_id", F.col("n_grams").alias("_ni")
-    )
+    n_idx = spark.read.parquet(f"{base}/counts")
+    if exclude_batch_id is not None:
+        n_idx = n_idx.where(F.col("batch_id") != exclude_batch_id)
+    n_idx = n_idx.select("doc_id", F.col("n_grams").alias("_ni"))
     # Prefilter the corpus-scale gram table with a BROADCAST semi-join on
     # the (batch-scale) candidate set: grams/ is scanned but never
     # shuffled — only the candidates' gram rows enter the verify
@@ -393,6 +506,48 @@ def dedup_against_index(
         )
         .where(F.lit(2) * F.col("n_common") >= F.col("n_union"))
     )
+
+
+def ingest_batch_against_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    *,
+    batch_id: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """One incremental-ingest step: dedup a batch, then GROW the index.
+
+    The loop ``dedup_against_index`` exists for, closed: flag the
+    batch's near-dups against the persisted index, mark the rest novel,
+    and append only the novel docs' rows to the index under this
+    ``batch_id`` — so tomorrow's batch dedups against today's novelties
+    without ever re-signaturing the landed corpus. Per-call cost is
+    O(batch) + the pruned index probe; the corpus is never rewritten.
+
+    At-least-once safe: the dedup pass excludes ``batch_id``'s own
+    partitions (a replay after a half-completed append would otherwise
+    see its own docs in the index, flag them as self-dups, and drop
+    them), and the append overwrites only this batch's partitions.
+    The dup decisions are materialized (localCheckpoint) BEFORE the
+    append, because appending mutates tables the decision plan scans.
+
+    Returns the batch annotated with ``dup_of`` (null ⇒ novel, and the
+    doc is now indexed) — the best-match keeper (max n_common, min
+    doc_id tie-break) when duplicated.
+    """
+    dups = dedup_against_index(
+        spark, batch, path, text_col=text_col, exclude_batch_id=batch_id
+    ).localCheckpoint()
+    best = (
+        dups.groupBy("doc_id")
+        .agg(F.min(F.struct(-F.col("n_common"), F.col("dup_of"))).alias("_b"))
+        .select("doc_id", F.col("_b.dup_of").alias("dup_of"))
+    )
+    annotated = batch.join(best, "doc_id", "left").localCheckpoint()
+    novel = annotated.where(F.col("dup_of").isNull()).drop("dup_of")
+    append_to_minhash_index(novel, path, batch_id=batch_id, text_col=text_col)
+    return annotated
 
 
 def simhash_vote(hx: Column, j: int) -> Column:

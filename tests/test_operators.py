@@ -103,6 +103,93 @@ def test_dedup_against_index_round_trip(spark, tmp_path):
     assert rows2 == {(10, 1), (11, 3)}
 
 
+def test_append_to_minhash_index_matches_full_rebuild(spark, tmp_path):
+    """Growing the index one batch partition at a time must be decision-
+    identical to rebuilding it from scratch over the appended corpus —
+    same verified pairs, same exact-Jaccard counts — and replaying the
+    same append (at-least-once ingest) must change nothing."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        append_to_minhash_index,
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    far = "completely different words compose this other document about ships at sea"
+    novel = "a copper lantern hangs alone in the harbor window tonight waiting quietly"
+    corpus = _docs_df(spark, [(1, "en", BASE), (2, "en", far)])
+    day1 = _docs_df(spark, [(3, "en", novel)])
+    probe = _docs_df(
+        spark,
+        [
+            (10, "en", BASE.replace("lazy", "sleepy")),
+            (11, "en", novel.replace("copper", "brass")),
+            (12, "en", "nothing here resembles any indexed document in the least bit"),
+        ],
+    )
+
+    grown = str(tmp_path / "grown")
+    write_minhash_index(corpus, grown)
+    append_to_minhash_index(day1, grown, batch_id=1)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    write_minhash_index(corpus.union(day1), rebuilt)
+
+    def decisions(path):
+        return {
+            (r.doc_id, r.dup_of): (r.n_common, r.n_union)
+            for r in dedup_against_index(spark, probe, path).collect()
+        }
+
+    want = decisions(rebuilt)
+    assert set(want) == {(10, 1), (11, 3)}
+    assert decisions(grown) == want
+
+    # idempotent replay: overwriting the same batch partitions is a no-op
+    append_to_minhash_index(day1, grown, batch_id=1)
+    assert decisions(grown) == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        append_to_minhash_index(day1, grown, batch_id=0)
+
+
+def test_ingest_batch_against_index_loop(spark, tmp_path):
+    """The closed incremental loop: each batch dedups against everything
+    landed so far (full build + earlier batches' novelties), then its own
+    novel docs join the index. A replay of a batch whose append already
+    landed (crash before commit) must NOT flag its docs as dups of their
+    own half-appended copies."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        ingest_batch_against_index,
+        write_minhash_index,
+    )
+
+    far = "completely different words compose this other document about ships at sea"
+    novel = "a copper lantern hangs alone in the harbor window tonight waiting quietly"
+    path = str(tmp_path / "idx")
+    write_minhash_index(_docs_df(spark, [(1, "en", BASE), (2, "en", far)]), path)
+
+    # batch 1: one near-dup of the landed corpus, one novelty
+    b1 = _docs_df(spark, [(10, "en", BASE.replace("lazy", "sleepy")), (11, "en", novel)])
+    out1 = {r.doc_id: r.dup_of for r in ingest_batch_against_index(spark, b1, path, batch_id=1).collect()}
+    assert out1 == {10: 1, 11: None}
+
+    # batch 2 sees batch 1's novelty in the index, and lands one of its own
+    fresh = "winter trains cross the long iron bridge carrying grain toward the coast"
+    b2 = _docs_df(
+        spark, [(20, "en", novel.replace("copper", "brass")), (21, "en", fresh)]
+    )
+    out2 = {r.doc_id: r.dup_of for r in ingest_batch_against_index(spark, b2, path, batch_id=2).collect()}
+    assert out2 == {20: 11, 21: None}
+
+    # crash-replay of batch 2: doc 21's append already landed, yet the
+    # replay must reproduce the original decisions — 21 stays novel, not
+    # a dup of its own indexed copy
+    out2r = {r.doc_id: r.dup_of for r in ingest_batch_against_index(spark, b2, path, batch_id=2).collect()}
+    assert out2r == out2
+
+
 def test_tfidf_top_terms_ranks_rare_over_common(spark):
     """The discriminative term must outrank the ubiquitous one: 'zebra'
     (tf=2, df=1 → 2·(ln(2)+1) ≈ 3.39) beats 'the' (tf=3, df=3 → idf

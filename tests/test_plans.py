@@ -228,6 +228,20 @@ def test_dedup_against_index_cost_is_batch_bounded(spark):
     assert "SortMergeJoin" not in plan
     assert "/counts" in plan
     assert "BatchEvalPython" not in plan
+    # (d) both corpus-scale index tables partition-prune on the batch's
+    # realized pfx sets — the scans carry a pfx INSET PartitionFilter, so
+    # a small batch reads a handful of index files, not the whole table.
+    for table in ("/bands", "/grams"):
+        scans = [
+            b
+            for b in blocks
+            if "Scan parquet" in b.split("\n", 1)[0] and table in b
+        ]
+        assert scans, f"no parquet scan of {table} in plan"
+        assert all(
+            "PartitionFilters" in b and "pfx" in b.split("PartitionFilters", 1)[1]
+            for b in scans
+        ), f"{table} scan missing pfx partition filter"
 
 
 def test_decontaminate_corpus_side_is_shuffle_free(spark):
