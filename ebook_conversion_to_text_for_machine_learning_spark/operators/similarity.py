@@ -799,6 +799,18 @@ def lsh_ann_topk(
 # per query batch" and "join against a prebuilt bucket table".
 
 
+#: bands/ partition key width: leading bits of the bucket bit-string →
+#: 256 partitions per band. cells/ partition count: cell_id modulo.
+_BAND_PFX_BITS = 8
+_CELL_PARTITIONS = 256
+
+
+def _band_pfx(bucket: Column) -> Column:
+    """Int partition key from a bucket bit-string's leading bits (see
+    ``dedup._hex_pfx`` for why partition values must be typed ints)."""
+    return F.conv(F.substring(bucket, 1, _BAND_PFX_BITS), 2, 10).cast("int")
+
+
 class AnnIndex:
     """Handle to a persisted ANN index (see ``write_ann_index``)."""
 
@@ -842,6 +854,16 @@ def write_ann_index(
     - ``meta``    — one row of the knobs the index was built with, so a
       reader cannot accidentally band probes with mismatched planes
 
+    Probe-pruned layout: ``bands/`` is hive-partitioned by ``band_id``
+    and ``pfx`` (the bucket bit-string's leading ``_BAND_PFX_BITS`` bits
+    as an int) and ``cells/`` by ``cell_pfx`` (``cell_id mod
+    _CELL_PARTITIONS``), so the ``*_topk_indexed`` paths read only the
+    partitions a probe batch's buckets / probed cells land in instead of
+    scanning the corpus-scale tables — the same file-pruning contract as
+    the minhash dedup index (``operators/dedup.py``). The modulo keeps
+    the directory count bounded (256) at the advertised 65536-cell
+    setting; exact cell matching still happens in the join.
+
     Everything is written ``overwrite`` so a rebuild is idempotent.
     """
     sig_fn = (
@@ -850,7 +872,9 @@ def write_ann_index(
     sig_fn(
         corpus, dim, vec_col=vec_col, id_col=id_col,
         n_bands=n_bands, band_planes=band_planes,
-    ).withColumnRenamed("vec_id", "item_id").write.mode("overwrite").parquet(
+    ).withColumnRenamed("vec_id", "item_id").withColumn(
+        "pfx", _band_pfx(F.col("bucket"))
+    ).write.mode("overwrite").partitionBy("band_id", "pfx").parquet(
         f"{path}/bands"
     )
     centroids = ivf_centroids(
@@ -863,7 +887,8 @@ def write_ann_index(
         F.col("vec_id").alias("item_id"),
         F.col(vec_col).alias("item_vec"),
         "cell_id",
-    ).write.mode("overwrite").parquet(f"{path}/cells")
+        F.pmod(F.col("cell_id"), F.lit(_CELL_PARTITIONS)).cast("int").alias("cell_pfx"),
+    ).write.mode("overwrite").partitionBy("cell_pfx").parquet(f"{path}/cells")
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids], "cid long, cvec array<float>"
@@ -901,19 +926,39 @@ def lsh_ann_topk_indexed(
     """``lsh_ann_topk`` against a persisted index: only the (small) probe
     side is banded; the corpus-side signatures and vectors come from the
     index tables. Identical results to the live path by construction —
-    the scoring tail is the same function."""
+    the scoring tail is the same function.
+
+    The index's ``bands/`` scan partition-prunes on the probe batch's
+    realized bucket prefixes (materialized once, collected as a bounded
+    int set) — a handful of probes touch a handful of index files. The
+    ``cells/`` scan stays full: it is the id→vector fetch table here and
+    band-collision candidates can live in any cell.
+    """
     sig_fn = (
         lsh_banded_signatures_arrow if signature_path == "arrow" else lsh_banded_signatures
     )
-    p_bands = sig_fn(
-        probes, index.dim, vec_col=vec_col, id_col=id_col,
-        n_bands=index.n_bands, band_planes=index.band_planes,
-    ).select(F.col("vec_id").alias("probe_id"), "band_id", "bucket")
+    p_bands = (
+        sig_fn(
+            probes, index.dim, vec_col=vec_col, id_col=id_col,
+            n_bands=index.n_bands, band_planes=index.band_planes,
+        )
+        .select(F.col("vec_id").alias("probe_id"), "band_id", "bucket")
+        .localCheckpoint()
+    )
+    c_bands = index.bands
+    if "pfx" in c_bands.columns:
+        pfxs = [
+            r[0]
+            for r in p_bands.select(_band_pfx(F.col("bucket")).alias("p"))
+            .distinct()
+            .collect()
+        ]
+        c_bands = c_bands.where(F.col("pfx").isin(pfxs or [-1]))
     probe_vecs = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
     items = index.cells.select("item_id", "item_vec")
-    return _lsh_topk_from_bands(index.bands, items, p_bands, probe_vecs, k)
+    return _lsh_topk_from_bands(c_bands, items, p_bands, probe_vecs, k)
 
 
 #: Default SemDeDup cosine threshold. The paper (Abbas et al. 2023,
@@ -1044,7 +1089,13 @@ def ivf_ann_topk_indexed(
     """``ivf_ann_topk`` against a persisted index: cell assignment comes
     from the index; only probe→cell ranking runs per query batch
     (``probe_path="expr"`` is the literal-expression twin — small
-    codebooks only)."""
+    codebooks only).
+
+    The ``cells/`` scan partition-prunes on the probed cells' partition
+    keys (probes × nprobe ids, bounded by ``_CELL_PARTITIONS``): at the
+    advertised 65536-cell setting a probe batch reads only the cell
+    groups it actually ranks, not the corpus-scale table.
+    """
     if probe_path == "arrow":
         probe_cells = ivf_probe_cells_arrow(
             probes, index.centroids, nprobe=nprobe, vec_col=vec_col, id_col=id_col
@@ -1062,7 +1113,21 @@ def ivf_ann_topk_indexed(
                 )
             ).alias("probe_cell"),
         )
-    return _ivf_topk_from_cells(index.cells, probe_cells, k)
+    cells = index.cells
+    if "cell_pfx" in cells.columns:
+        probe_cells = probe_cells.localCheckpoint()
+        pfxs = [
+            r[0]
+            for r in probe_cells.select(
+                F.pmod(F.col("probe_cell"), F.lit(_CELL_PARTITIONS))
+                .cast("int")
+                .alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        cells = cells.where(F.col("cell_pfx").isin(pfxs or [-1]))
+    return _ivf_topk_from_cells(cells, probe_cells, k)
 
 
 # ---------------------------------------------------------------------------

@@ -244,6 +244,40 @@ def test_dedup_against_index_cost_is_batch_bounded(spark):
         ), f"{table} scan missing pfx partition filter"
 
 
+def test_indexed_ann_scans_partition_prune(spark):
+    """The persisted-ANN contract: a probe batch must not scan the
+    corpus-scale index tables. The LSH path's bands/ scan prunes on the
+    probes' bucket prefixes; the IVF path's cells/ scan prunes on the
+    probed cells' partition keys — both visible as partition filters on
+    the parquet scans."""
+    import re
+
+    def scan_blocks(plan, table):
+        blocks = re.split(r"\n(?=\(\d+\) )", plan)
+        return [
+            b
+            for b in blocks
+            if "Scan parquet" in b.split("\n", 1)[0] and table in b
+        ]
+
+    lsh = plan_of(entrymod.queries()["lsh_ann_topk_indexed"](spark, SF_DIR))
+    bands = scan_blocks(lsh, "/bands")
+    assert bands, "no bands/ scan in the LSH indexed plan"
+    assert all(
+        "PartitionFilters" in b and "pfx" in b.split("PartitionFilters", 1)[1]
+        for b in bands
+    ), "bands/ scan missing pfx partition filter"
+
+    ivf = plan_of(entrymod.queries()["ivf_ann_topk_indexed"](spark, SF_DIR))
+    cells = scan_blocks(ivf, "/cells")
+    assert cells, "no cells/ scan in the IVF indexed plan"
+    assert all(
+        "PartitionFilters" in b
+        and "cell_pfx" in b.split("PartitionFilters", 1)[1]
+        for b in cells
+    ), "cells/ scan missing cell_pfx partition filter"
+
+
 def test_decontaminate_corpus_side_is_shuffle_free(spark):
     """The corpus side of decontamination must stay a pure map: eval grams
     are aggregated (a one-row exchange) and broadcast; the corpus is never
