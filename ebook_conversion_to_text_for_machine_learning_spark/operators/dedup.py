@@ -154,6 +154,42 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def size_bucket_keys(n_grams: Column, threshold: float) -> Column:
+    """(skey, guest) structs implementing EXACT size-bucketed blocking.
+
+    A pair with Jaccard ≥ t satisfies ``max ≤ min/t`` (|∩| ≤ min,
+    |∪| ≥ max), so with power-of-two size buckets ``bkt = bit_length(n)``
+    the two docs' buckets differ by at most ``G = ceil(log2(1/t))``
+    (G = 1 at the standard t = 0.5). Each doc therefore emits its home
+    bucket (guest = 0) plus its G lower buckets (guest = distance), and
+    the pair join matches on the composite key rejecting guest×guest
+    rows: a same-bucket pair meets exactly once (home×home at its
+    bucket; every shared lower key is guest×guest), and a
+    distance-d pair exactly once (home×guest_d at the smaller bucket —
+    the larger doc's home key is never shared). Output is thus provably
+    identical to whole-block joining, while the join key gains the size
+    bucket — the difference between "every doc in a language is one
+    block" and blocks bounded by the corpus's size histogram.
+
+    ``bit_length`` via ``length(conv(n, 10, 2))`` — pure integer/string
+    ops, no float log2 boundary risk, identical in DuckDB
+    (``length(bin(n))``) should an oracle ever need the key.
+    """
+    import math
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("size bucketing needs 0 < threshold <= 1")
+    g = max(1, math.ceil(math.log2(1.0 / threshold))) if threshold < 1.0 else 1
+    bkt = F.length(F.conv(n_grams.cast("string"), 10, 2))
+    return F.array(
+        F.struct(bkt.alias("skey"), F.lit(0).alias("guest")),
+        *[
+            F.struct((bkt - d).alias("skey"), F.lit(d).alias("guest"))
+            for d in range(1, g + 1)
+        ],
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -161,16 +197,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 1,
     threshold: float = 0.5,
+    size_bucketed: bool = True,
 ) -> DataFrame:
     """Token n-gram Jaccard similarity for pairs within a blocking key.
 
-    CONTRACT: this is O(n²) *within each block* — the caller must supply a
-    ``block_col`` whose groups stay small (there is deliberately no
-    default; a coarse key like language is the whole corpus at scale). For
-    corpus-wide near-dup detection use ``minhash_candidate_pairs`` to
-    generate candidates and verify them with exact Jaccard (the
-    ``minhash_verified_dedup`` composition) — this operator is the
-    verifier/small-block path only.
+    CONTRACT: this is O(n²) *within each (block, size-bucket)* — with
+    ``size_bucketed=True`` (default) the caller's ``block_col`` is
+    composed with ``size_bucket_keys``'s power-of-two gram-count
+    buckets, which provably preserves the output (see that docstring)
+    while bounding each join group by the size histogram instead of the
+    whole block — a coarse ``block_col`` like language stays usable at
+    corpus scale as long as no single (lang, size-decade) slice is
+    quadratically large. ``size_bucketed=False`` keeps the raw
+    block-only join (tiny-block verifier use). For corpus-wide near-dup
+    detection ``minhash_candidate_pairs`` + exact-Jaccard verify
+    (``minhash_verified_dedup``) remains the sub-quadratic path.
     """
     sh = F.array_distinct(shingles_col(F.col(text_col), n)) if n > 1 else F.array_distinct(
         tokens_col(F.col(text_col))
@@ -181,13 +222,22 @@ def ngram_jaccard_pairs(
         sh.alias("grams"),
         F.size(sh).alias("n_grams"),
     )
+    if size_bucketed:
+        base = base.select(
+            "*", F.explode(size_bucket_keys(F.col("n_grams"), threshold)).alias("sk")
+        ).select(
+            "doc_id", "block", "grams", "n_grams", "sk.skey", "sk.guest"
+        )
     left = base.alias("l")
     right = base.alias("r")
     # |A∪B| = |A| + |B| - |A∩B| with per-doc sizes precomputed — one array
     # pass per pair instead of two (array_union materializes a new array).
     inter = F.size(F.array_intersect(F.col("l.grams"), F.col("r.grams"))).cast("double")
     union = (F.col("l.n_grams") + F.col("r.n_grams")).cast("double") - inter
-    jaccard = F.round(inter / union, 4)
+    # Two empty gram sets are identical: J := 1 (the raw ratio is 0/0,
+    # which ANSI mode rightly refuses to divide).
+    j_exact = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    jaccard = F.round(j_exact, 4)
     # Size-ratio prefilter: J ≥ t and |∩| ≤ min imply
     # min ≥ t/(1+t) · (|A|+|B|), so wildly mismatched sizes can never pass
     # the threshold. Integer-only predicate in the join condition → pruned
@@ -198,21 +248,26 @@ def ngram_jaccard_pairs(
         F.least(F.col("l.n_grams"), F.col("r.n_grams")).cast("double") * (1.0 + threshold)
         >= (F.col("l.n_grams") + F.col("r.n_grams")).cast("double") * threshold
     )
-    return (
-        left.join(
-            right,
-            (F.col("l.block") == F.col("r.block"))
-            & (F.col("l.doc_id") < F.col("r.doc_id"))
-            & size_ok,
+    cond = (
+        (F.col("l.block") == F.col("r.block"))
+        & (F.col("l.doc_id") < F.col("r.doc_id"))
+        & size_ok
+    )
+    if size_bucketed:
+        cond = (
+            (F.col("l.skey") == F.col("r.skey"))
+            & ~((F.col("l.guest") >= 1) & (F.col("r.guest") >= 1))
+            & cond
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            jaccard.alias("jaccard"),
-            (inter / union).alias("_j_exact"),
-        )
-        .where(F.col("_j_exact") >= threshold)
-        .drop("_j_exact")
+    # Threshold acceptance goes LAST inside the join condition: a
+    # .where() above the join gets pushdown-prepended to the conjunction,
+    # making the O(n) array_intersect run before the cheap integer
+    # guards (1.4× slower measured on the driver query's twin of this
+    # plan). The unrounded ratio decides; `jaccard` is display-rounded.
+    return left.join(right, cond & (j_exact >= threshold)).select(
+        F.col("l.doc_id").alias("doc_a"),
+        F.col("r.doc_id").alias("doc_b"),
+        jaccard.alias("jaccard"),
     )
 
 

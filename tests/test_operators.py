@@ -311,6 +311,57 @@ def test_ngram_jaccard_threshold(spark):
     assert pairs[0].jaccard > 0.9
 
 
+def test_ngram_jaccard_size_bucketing_is_exact(spark):
+    """The (block, size-bucket) composite key must be a pure physical
+    optimization: identical output rows to the whole-block join on a
+    corpus engineered to cross bucket boundaries — same-bucket pairs,
+    adjacent-bucket pairs (sizes 6 vs 9 straddle the 8-boundary at
+    J≥0.5), empty docs (0-gram pairs pass 0 ≥ 0), and multi-guest
+    blocking at t=0.3 (G=2, pairs two buckets apart)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    w = "alpha beta gamma delta echo fox golf hotel india juliet kilo lima".split()
+    docs = [
+        (1, "en", " ".join(w[:6])),            # 6 grams, bucket 3
+        (2, "en", " ".join(w[:9])),            # 9 grams, bucket 4 (J=6/9)
+        (3, "en", " ".join(w[:6]) + " xray"),  # 7 grams, bucket 3
+        (4, "en", ""),                         # empty
+        (5, "en", ""),                         # empty (pairs with 4)
+        (6, "en", " ".join(w)),                # 12 grams, bucket 4
+        (7, "en", " ".join(w[:4])),            # 4 grams, bucket 3 vs doc1 J=4/6
+        (8, "fr", " ".join(w[:6])),            # other block
+        (9, "en", " ".join(w[:3])),            # 3 grams, bucket 2 — two below 9
+    ]
+    df = _docs_df(spark, docs)
+    for t in (0.5, 0.3):
+        plain = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                df, block_col="lang", threshold=t, size_bucketed=False
+            ).collect()
+        }
+        bucketed = {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                df, block_col="lang", threshold=t, size_bucketed=True
+            ).collect()
+        }
+        assert bucketed == plain and plain
+    # sanity: the t=0.5 set crosses a bucket boundary and keeps empties
+    keys = {(a, b) for (a, b, _) in plain} | {
+        (a, b)
+        for (a, b, _) in {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                df, block_col="lang", threshold=0.5, size_bucketed=True
+            ).collect()
+        }
+    }
+    assert (1, 2) in keys and (4, 5) in keys
+
+
 def test_cosine_topk_identical_vector_ranks_first(spark):
     from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
         cosine_topk,
