@@ -631,6 +631,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_pair_counts"] = bpe_pair_counts
 
+    def bpe_encode(spark, sf_dir):
+        # Encode against the frozen DEFAULT_BPE_MERGES vocab artifact
+        # (trained offline by bpe.train_bpe_merges on sf0.01) — the
+        # oracle applies the IDENTICAL replace() chain generated from
+        # the same constant.
+        from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+            bpe as B,
+        )
+
+        return B.bpe_encode(
+            read_table(spark, sf_dir, "documents"), B.DEFAULT_BPE_MERGES
+        )
+
+    q["bpe_encode"] = bpe_encode
+
+    def bpe_token_stats(spark, sf_dir):
+        # chunk_documents with real-tokenizer accounting: every chunk
+        # carries both the whitespace proxy count and its BPE token
+        # count under the frozen vocab (what pack_sequences budgets on
+        # via count_col="n_bpe_chunk_tokens").
+        from ebook_conversion_to_text_for_machine_learning_spark.operators import (
+            bpe as B,
+            curation as C2,
+        )
+
+        ch = C2.chunk_documents(
+            read_table(spark, sf_dir, "documents"),
+            chunk_tokens=32,
+            overlap=4,
+            bpe_merges=B.DEFAULT_BPE_MERGES,
+        )
+        return ch.select(
+            "doc_id", "chunk_idx", "n_chunk_tokens", "n_bpe_chunk_tokens"
+        )
+
+    q["bpe_token_stats"] = bpe_token_stats
+
     def tfidf_top_terms(spark, sf_dir):
         docs = read_table(spark, sf_dir, "documents")
         return T.tfidf_top_terms(docs, k=5)
@@ -2025,6 +2062,60 @@ w AS (SELECT unnest(toks) AS tok FROM t),
 i AS (SELECT tok, unnest(range(1, length(tok))) AS pos FROM w WHERE length(tok) >= 2)
 SELECT substr(tok, pos, 2) AS pair, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM i GROUP BY substr(tok, pos, 2) HAVING count(*) >= 2"""
+
+    # BPE encode: the SAME fold of literal replace() calls as the Spark
+    # side, generated from the one DEFAULT_BPE_MERGES constant —
+    # replace() is left-to-right non-overlapping in both engines, so the
+    # chains agree byte-for-byte (see operators/bpe.py module doc).
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.bpe import (
+        DEFAULT_BPE_MERGES as _BPE_MERGES,
+    )
+
+    _O, _C = "\x01", "\x02"
+
+    def _bpe_enc_sql(text_expr: str) -> str:
+        stripped = f"replace(replace({text_expr}, '{_O}', ''), '{_C}', '')"
+        toks = _SQL_TOKENS.format(col=stripped)
+        wrapped = (
+            f"array_to_string(list_transform({toks}, "
+            f"t -> regexp_replace(t, '(?s)(.)', '{_O}' || '\\1' || '{_C}', 'g')), ' ')"
+        )
+        out = wrapped
+        for a, b in _BPE_MERGES:
+            out = f"replace({out}, '{_O}{a}{_C}{_O}{b}{_C}', '{_O}{a}{b}{_C}')"
+        return out
+
+    def _bpe_count_sql(enc: str) -> str:
+        return f"CAST(len(string_split({enc}, '{_O}')) - 1 AS BIGINT)"
+
+    _bpe_display = (
+        f"replace(replace(replace(replace(enc, '{_C} {_O}', ' | '), "
+        f"'{_C}{_O}', ' '), '{_O}', ''), '{_C}', '')"
+    )
+    o["bpe_encode"] = f"""
+WITH e AS (SELECT doc_id, {_bpe_enc_sql('text')} AS enc FROM documents)
+SELECT doc_id,
+  {_bpe_count_sql('enc')} AS n_bpe_tokens,
+  {_bpe_display} AS encoded
+FROM e"""
+
+    _bts_step, _bts_chunk = 28, 32
+    o["bpe_token_stats"] = f"""
+WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks)::DOUBLE / {_bts_step}) AS INT))) AS i
+  FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, i,
+         array_to_string(toks[i * {_bts_step} + 1 : i * {_bts_step} + {_bts_chunk}], ' ') AS chunk_text,
+         CAST(len(toks[i * {_bts_step} + 1 : i * {_bts_step} + {_bts_chunk}]) AS BIGINT) AS n_chunk_tokens
+  FROM s)
+SELECT doc_id,
+  CAST(i AS BIGINT) AS chunk_idx,
+  n_chunk_tokens,
+  {_bpe_count_sql(_bpe_enc_sql('chunk_text'))} AS n_bpe_chunk_tokens
+FROM c"""
 
     o["domain_affinity"] = f"""
 WITH t AS (SELECT doc_id, source, {tokens} AS toks FROM documents),

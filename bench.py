@@ -100,6 +100,8 @@ def main() -> None:
         "fingerprints",
         "tfidf_top_terms",
         "bpe_pair_counts",
+        "bpe_encode",
+        "bpe_token_stats",
         "cosine_topk",
         "knn_label_vote",
         "lsh_ann_topk",

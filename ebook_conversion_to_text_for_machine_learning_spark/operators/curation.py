@@ -70,6 +70,7 @@ def chunk_documents(
     chunk_tokens: int = 128,
     overlap: int = 16,
     carry_cols: tuple = (),
+    bpe_merges=None,
 ) -> DataFrame:
     """Cut each document into whitespace-token chunks with overlap.
 
@@ -80,6 +81,14 @@ def chunk_documents(
     output is the training-sequence table and this is the whole plan.
     ``carry_cols`` ride through to every chunk row unchanged (provenance
     columns like a text hash), avoiding a re-join downstream.
+
+    ``bpe_merges`` (a merge list, e.g. ``bpe.DEFAULT_BPE_MERGES``) adds
+    ``n_bpe_chunk_tokens`` — the chunk's REAL tokenizer token count
+    under the vocab — so ``pack_sequences(count_col=
+    "n_bpe_chunk_tokens")`` budgets bins in model tokens instead of the
+    whitespace proxy. Chunk *boundaries* stay word-aligned (standard BPE
+    never merges across words, so a word's symbol count is independent
+    of its neighbors and the per-chunk counts sum exactly).
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("require 0 <= overlap < chunk_tokens")
@@ -97,19 +106,26 @@ def chunk_documents(
         ),
     ).otherwise(F.array().cast("array<int>"))
     carried = list(carry_cols)
-    return (
-        df.select(
-            "doc_id", *carried, toks.alias("_toks"), F.explode(starts).alias("chunk_start")
-        )
-        .select(
-            "doc_id",
-            *carried,
-            (F.col("chunk_start") / step).cast("long").alias("chunk_idx"),
-            F.col("chunk_start").cast("long").alias("chunk_start"),
-            F.array_join(F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens), " ").alias("chunk_text"),
-            F.size(F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens)).cast("long").alias("n_chunk_tokens"),
-        )
+    chunk_text = F.array_join(
+        F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens), " "
     )
+    cols = [
+        (F.col("chunk_start") / step).cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        chunk_text.alias("chunk_text"),
+        F.size(F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens)).cast("long").alias("n_chunk_tokens"),
+    ]
+    if bpe_merges is not None:
+        from ebook_conversion_to_text_for_machine_learning_spark.operators.bpe import (
+            bpe_token_count_col,
+        )
+
+        cols.append(
+            bpe_token_count_col(chunk_text, bpe_merges).alias("n_bpe_chunk_tokens")
+        )
+    return df.select(
+        "doc_id", *carried, toks.alias("_toks"), F.explode(starts).alias("chunk_start")
+    ).select("doc_id", *carried, *cols)
 
 
 #: Split thresholds over the 0..255 bucket space (first two md5 hex chars):
