@@ -145,7 +145,8 @@ def knn_label_vote(
 
     The standard embedding-quality / weak-labeling primitive: each probe
     takes the modal label of its nearest neighbors (ties break on the
-    smaller label, so the vote is deterministic and SQL-expressible).
+    smaller label — numeric order for numeric labels, lexicographic for
+    strings — so the vote is deterministic and SQL-expressible).
     Neighbor search defaults to exact ``cosine_topk`` (broadcast probes,
     corpus never shuffled); pass ``topk`` to vote over any other
     (probe_id, item_id) producer — ``ivf_ann_topk``/``lsh_ann_topk``
@@ -153,8 +154,12 @@ def knn_label_vote(
     The vote itself is a partial-agg count on (probe, label) plus a
     per-probe window bounded by k rows.
 
-    Returns (probe_id, pred_label, n_votes).
+    Returns (probe_id, pred_label, n_votes). ``pred_label`` keeps the
+    label column's own type for non-integral labels (a string-labeled
+    corpus votes on strings — the old unconditional long cast silently
+    NULLed every prediction); integral labels widen to long as before.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
     from pyspark.sql.window import Window
 
     if topk is None:
@@ -170,14 +175,16 @@ def knn_label_vote(
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("n_votes"), F.asc("_label")
     )
+    pred = F.col("_label")
+    if isinstance(
+        corpus.schema[label_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        pred = pred.cast("long")
     return (
         votes.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") == 1)
-        .select(
-            "probe_id",
-            F.col("_label").cast("long").alias("pred_label"),
-            "n_votes",
-        )
+        .select("probe_id", pred.alias("pred_label"), "n_votes")
     )
 
 
@@ -509,6 +516,19 @@ def ivf_kmeans_centroids(
     members keeps its previous centroid (the standard empty-cell rule;
     also what makes the refined codebook keep exactly the initial cell
     ids, which downstream nprobe arithmetic relies on).
+
+    Accepted parity window: the per-cell means sum float64 partial sums
+    (``F.sum`` over per-batch accumulations), and double addition is
+    order-dependent — a component mean landing within ~1 ulp of a
+    6-decimal rounding boundary can round differently from the oracle's
+    fold order and then amplify through later Lloyd iterations (same
+    class of window as the Arrow-vs-expression sign agreement in
+    ``lsh_banded_signatures_arrow``, NOT the exact-integer convention
+    ``_pq_qdist`` uses). Unobserved on the driver corpora (path-
+    agreement and oracle tests pin current behavior); if a production
+    corpus ever trips it, quantize per-component contributions with the
+    x10k floor-round pattern before summation at the cost of one extra
+    rounding per member vector.
     """
     from typing import Iterator
 

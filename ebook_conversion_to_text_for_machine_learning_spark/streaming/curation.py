@@ -147,15 +147,46 @@ def _migrate_legacy_output(
             raise
 
 
-def compact_seen_sidecar(spark: SparkSession, seen_dir: str) -> int:
+def last_committed_batch(spark: SparkSession, checkpoint_dir: str) -> int:
+    """Largest micro-batch id the streaming checkpoint has COMMITTED —
+    the numeric filenames under ``<checkpoint>/commits/`` — or -1 when
+    nothing has committed yet."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(checkpoint_dir.rstrip("/") + "/commits")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return -1
+    ids = [
+        int(st.getPath().getName())
+        for st in fs.listStatus(p)
+        if st.getPath().getName().isdigit()
+    ]
+    return max(ids, default=-1)
+
+
+def compact_seen_sidecar(
+    spark: SparkSession, seen_dir: str, *, checkpoint_dir: str | None = None
+) -> int:
     """Squash the sidecar's per-batch partitions into ``batch_id=-1``.
 
     Returns the number of distinct hashes after compaction (0 when there
-    is nothing to compact). Safe to run between micro-batches of a live
-    stream and idempotent: the distinct union lands in the compacted
-    partition BEFORE the superseded partitions are deleted, so a crash
-    anywhere leaves every hash readable (duplicate hashes across
+    is nothing to compact). Idempotent: the distinct union lands in the
+    compacted partition BEFORE the superseded partitions are deleted, so
+    a crash anywhere leaves every hash readable (duplicate hashes across
     partitions are harmless to the left-anti join).
+
+    WHEN it may run: between micro-batches of a live stream, or against
+    a CLEANLY-stopped stream whose last batch committed. After a crash,
+    the highest partition may belong to a batch that wrote its output
+    and sidecar but died before the checkpoint commit — folding THAT
+    partition into ``batch_id=-1`` would defeat the replay's
+    "``batch_id != N`` excludes my own failed attempt" filter: the
+    replayed batch would anti-join all its texts away and overwrite its
+    output partition with nothing. Pass ``checkpoint_dir`` (the stream's
+    checkpoint location) to make compaction crash-safe unconditionally:
+    partitions above ``last_committed_batch`` are left in place — both
+    un-compacted and excluded from the compacted hash set — and picked
+    up by the next compaction after they commit.
     """
     from pyspark.errors import AnalysisException
 
@@ -163,11 +194,23 @@ def compact_seen_sidecar(spark: SparkSession, seen_dir: str) -> int:
         seen = spark.read.parquet(seen_dir)
     except AnalysisException:
         return 0
-    old = [
+    committed_max = (
+        last_committed_batch(spark, checkpoint_dir)
+        if checkpoint_dir is not None
+        else None
+    )
+    batch_ids = [
         int(r.batch_id)
         for r in seen.select("batch_id").distinct().collect()
         if int(r.batch_id) != COMPACTED_BATCH_ID
     ]
+    if committed_max is not None:
+        uncommitted = [b for b in batch_ids if b > committed_max]
+        old = [b for b in batch_ids if b <= committed_max]
+        if uncommitted:
+            seen = seen.where(~F.col("batch_id").isin(uncommitted))
+    else:
+        old = batch_ids
     if not old:
         return 0
     # Materialize BEFORE overwriting a partition of the table being read

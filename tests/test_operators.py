@@ -861,6 +861,18 @@ def test_knn_label_vote_majority_and_tie_break(spark):
             knn_label_vote(corpus, probes, topk=ann).collect()}
     assert out2 == out
 
+    # string labels vote on strings (not NULL via a silent long cast) and
+    # the modal tie breaks lexicographically
+    named = spark.createDataFrame(
+        [(i, v, {7: "spam", 3: "ham", 5: "eggs", 9: "bran"}[lb])
+         for i, v, lb in corpus_rows],
+        "vec_id long, embedding array<double>, label string",
+    )
+    outs = {r.probe_id: (r.pred_label, r.n_votes) for r in
+            knn_label_vote(named, probes, k=5).collect()}
+    assert outs[100] == ("spam", 3)
+    assert outs[200] == ("bran", 2)  # 2-2 eggs/bran tie -> lexicographic
+
 
 def test_ivf_kmeans_recovers_planted_clusters(spark):
     """Spherical-Lloyd refinement must turn a bad stride-sampled codebook

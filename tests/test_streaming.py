@@ -405,3 +405,67 @@ def test_stream_funnel_per_batch_counters_match_batch_funnel(spark, tmp_path):
     for b in batch_ids:
         rows = out.where(F.col("batch_id") == b).collect()
         assert sorted(r.stage for r in rows) == ["lang_en", "min_len"]
+
+
+def test_compact_seen_sidecar_skips_uncommitted_partitions(spark, tmp_path):
+    """The crash-replay corner: a batch that wrote its sidecar partition
+    but died before the checkpoint commit must survive checkpoint-aware
+    compaction untouched — folded hashes would defeat the replay's
+    "batch_id != N excludes my own failed attempt" filter and the
+    replayed batch would anti-join its own texts away. Once the commit
+    lands, the next compaction folds it."""
+    import os
+
+    from tests.conftest import spans_df
+
+    from ebook_conversion_to_text_for_machine_learning_spark.streaming.curation import (
+        COMPACTED_BATCH_ID,
+        compact_seen_sidecar,
+        default_seen_dir,
+        last_committed_batch,
+        stream_curation,
+    )
+
+    text = (
+        "The quick brown fox jumps over the lazy dog and the miller waits "
+        "for the grain in the old mill by the stone bridge near the river"
+    )
+    in_dir = tmp_path / "in"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    seen_dir = default_seen_dir(out_dir)
+    spans_df(
+        spark,
+        [{"doc_id": "a1", "fmt": "txt", "title": None, "author": None,
+          "spans": [("line", text, "", 0)]}],
+    ).write.parquet(str(in_dir / "f1"))
+    q = stream_curation(
+        spark, f"{in_dir}/*", out_dir, ckpt,
+        chunk_tokens=16, overlap=0, available_now=True,
+    )
+    q.awaitTermination(180)
+    assert last_committed_batch(spark, ckpt) == 0
+
+    # simulate batch 1 crashing between its sidecar write and the commit
+    spark.createDataFrame([("deadbeef",)], "text_hash string").write.parquet(
+        f"{seen_dir}/batch_id=1"
+    )
+    n = compact_seen_sidecar(spark, seen_dir, checkpoint_dir=ckpt)
+    assert n == 1  # only the committed batch's one distinct hash
+    parts = sorted(d for d in os.listdir(seen_dir) if d.startswith("batch_id="))
+    assert parts == [f"batch_id={COMPACTED_BATCH_ID}", "batch_id=1"]
+    folded = {
+        r.text_hash
+        for r in spark.read.parquet(
+            f"{seen_dir}/batch_id={COMPACTED_BATCH_ID}"
+        ).collect()
+    }
+    assert "deadbeef" not in folded
+
+    # the commit lands -> the partition is now compactable
+    with open(os.path.join(ckpt, "commits", "1"), "w") as fh:
+        fh.write("v1\n{}")
+    assert last_committed_batch(spark, ckpt) == 1
+    assert compact_seen_sidecar(spark, seen_dir, checkpoint_dir=ckpt) == 2
+    parts = sorted(d for d in os.listdir(seen_dir) if d.startswith("batch_id="))
+    assert parts == [f"batch_id={COMPACTED_BATCH_ID}"]
