@@ -46,8 +46,14 @@ AES-256 (V 5 / R 5-6, AESV3 with the ISO 32000-2 hardened hash). All
 cipher cores are pure stdlib, pinned to the FIPS-197 C.1/C.3
 known-answer vectors. Password-protected files quarantine.
 
-Not handled (use the pdfminer path for these): CID fonts WITHOUT a
-ToUnicode CMap (raw CIDs are font-program-specific) and glyph
+Identity-H/V composite fonts WITHOUT a ToUnicode CMap decode their
+2-byte CIDs via ``_identity_cid_decoder``: when the descendant's
+/CIDSystemInfo marks the Adobe-Identity-UCS convention (Ordering
+``UCS``/``UCS2``) the CID is the Unicode code point and text round-trips;
+any other ordering yields one U+FFFD per CID — count- and
+structure-preserving, explicitly lossy. Not handled (use the pdfminer
+path for these): non-Identity predefined CJK CMaps (the glyph mapping
+lives in large charset tables / the font program) and glyph
 repositioning via ``Tm`` with rotation.
 """
 
@@ -1253,11 +1259,71 @@ def _cmap_decoder(data: bytes):
     return decode
 
 
+def _identity_cid_decoder(ucs: bool):
+    """2-byte big-endian CID stream decoder for Identity-H/V fonts with
+    no ToUnicode. ``ucs=True`` (descendant /CIDSystemInfo has Ordering
+    ``UCS``/``UCS2``, the Adobe-Identity-UCS convention some producers
+    mark when CID == Unicode code point) maps each CID to its BMP code
+    point; otherwise every CID becomes U+FFFD — the documented
+    replacement behavior that preserves character count and line
+    structure instead of emitting Latin-1 mojibake from the code bytes
+    (the font program's glyph mapping stays out of scope; pdfminer with
+    its predefined CJK CMaps remains the full-fidelity path)."""
+
+    def decode(bs: bytes) -> str:
+        out: List[str] = []
+        for i in range(0, len(bs) - 1, 2):
+            cid = (bs[i] << 8) | bs[i + 1]
+            if ucs and cid and not 0xD800 <= cid <= 0xDFFF:
+                out.append(chr(cid))
+            else:
+                out.append("�")
+        if len(bs) % 2:
+            out.append("�")
+        return "".join(out)
+
+    return decode
+
+
+def _cid_ordering(pdf: "_PdfFile", font: dict) -> str:
+    """The descendant CIDFont's /CIDSystemInfo /Ordering string (empty
+    when absent/malformed)."""
+    try:
+        desc = font.get("DescendantFonts")
+        if isinstance(desc, _Ref):
+            desc = pdf.resolve(desc)
+            if isinstance(desc, tuple):
+                desc = desc[0]
+        if isinstance(desc, list) and desc:
+            desc = desc[0]
+        if isinstance(desc, _Ref):
+            desc = pdf.resolve(desc)
+            if isinstance(desc, tuple):
+                desc = desc[0]
+        if not isinstance(desc, dict):
+            return ""
+        info = desc.get("CIDSystemInfo")
+        if isinstance(info, _Ref):
+            info = pdf.resolve(info)
+            if isinstance(info, tuple):
+                info = info[0]
+        if isinstance(info, dict):
+            ordering = info.get("Ordering")
+            if isinstance(ordering, bytes):
+                return ordering.decode("latin-1")
+            if isinstance(ordering, str):
+                return str(ordering)
+    except Exception:
+        pass
+    return ""
+
+
 def _font_decoder(pdf: "_PdfFile", font: dict):
     """Decoder for one font dict: ToUnicode CMap first (authoritative),
-    then /Encoding (base name or dict with /Differences); None means
-    "decode as Latin-1" — the pre-round-3 behavior and the identity for
-    unadorned simple fonts."""
+    then Identity-H/V CID handling for Type0 fonts (see
+    ``_identity_cid_decoder``), then /Encoding (base name or dict with
+    /Differences); None means "decode as Latin-1" — the pre-round-3
+    behavior and the identity for unadorned simple fonts."""
     tu = font.get("ToUnicode")
     if isinstance(tu, _Ref):
         try:
@@ -1271,6 +1337,10 @@ def _font_decoder(pdf: "_PdfFile", font: dict):
         enc = pdf.resolve(enc)
         if isinstance(enc, tuple):
             enc = enc[0]
+    if isinstance(enc, _Name) and str(enc) in ("Identity-H", "Identity-V"):
+        return _identity_cid_decoder(
+            _cid_ordering(pdf, font).upper() in ("UCS", "UCS2")
+        )
     table: Optional[List[str]] = None
     if isinstance(enc, _Name):
         codec = _BASE_ENCODINGS.get(str(enc))

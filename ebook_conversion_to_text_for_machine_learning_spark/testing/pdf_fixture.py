@@ -21,6 +21,10 @@ garbage bytes as the ObjStm payload so the page tree is unrecoverable
 or ``{"encoding": {"base": ..., "differences": [code, name, ...]}}``
 and/or ``{"tounicode": {"codespace": 1|2, "bfchar": {code: str},
 "bfrange": [(lo, hi, start_str)]}}`` (the CMap ships as a stream object).
+``{"type0": "UCS"|"Identity"}`` builds a composite Identity-H font whose
+descendant CIDFontType2 carries that /CIDSystemInfo /Ordering, and page
+text serializes as 2-byte hex show strings (CID == UTF-16BE code unit) —
+the no-ToUnicode CID fixture.
 
 Content streams are FlateDecode-compressed when ``compress=True`` —
 covering the dominant machine-generated case — or stored raw.
@@ -143,7 +147,9 @@ def _is_text(item: PageItem) -> bool:
     )
 
 
-def _page_content(items: Sequence[PageItem], image_names: List[str]) -> bytes:
+def _page_content(
+    items: Sequence[PageItem], image_names: List[str], utf16: bool = False
+) -> bytes:
     """Serialize items IN ORDER: each contiguous run of text lines gets
     its own BT/ET block and images emit in place, so text-image-text
     layouts round-trip with the documented item order (a single trailing
@@ -158,9 +164,20 @@ def _page_content(items: Sequence[PageItem], image_names: List[str]) -> bytes:
             run: List[bytes] = []
             while idx < len(items) and _is_text(items[idx]):
                 it = items[idx]
-                run.append(
-                    _escape(it) if isinstance(it, str) else _escape_bytes(it[1])
-                )
+                if utf16:
+                    # Identity-H composite font: show-text carries 2-byte
+                    # codes as a hex string (CID == UTF-16BE code unit);
+                    # rawtext bytes pass through verbatim (caller-built
+                    # code sequences).
+                    raw = (
+                        it.encode("utf-16-be") if isinstance(it, str) else it[1]
+                    )
+                    run.append(b"<" + raw.hex().encode() + b">")
+                else:
+                    body = (
+                        _escape(it) if isinstance(it, str) else _escape_bytes(it[1])
+                    )
+                    run.append(b"(" + body + b")")
                 idx += 1
             ops.append(b"BT")
             ops.append(b"/F1 12 Tf")
@@ -170,7 +187,7 @@ def _page_content(items: Sequence[PageItem], image_names: List[str]) -> bytes:
                 if not first:
                     ops.append(b"0 -14 Td")
                 y -= 14
-                ops.append(b"(" + line + b") Tj")
+                ops.append(line + b" Tj")
                 first = False
             ops.append(b"ET")
         elif items[idx][0] == "inline_img":
@@ -573,10 +590,30 @@ def build_pdf(
                 )
                 parts.append(f"/Differences [ {ser} ]")
             font_extra += f" /Encoding << {' '.join(parts)} >>"
-    bodies[3] = (
-        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-        f"{font_extra} >>"
-    ).encode()
+    utf16_text = False
+    if font_spec and "type0" in font_spec:
+        # Composite Identity-H font: /DescendantFonts carries the
+        # CIDFontType2 dict whose /CIDSystemInfo /Ordering the extractor
+        # inspects; page text serializes as 2-byte hex show strings.
+        utf16_text = True
+        ordering = font_spec["type0"]
+        desc_num = next_num
+        next_num += 1
+        bodies[desc_num] = (
+            "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake "
+            "/CIDSystemInfo << /Registry (Adobe) "
+            f"/Ordering ({ordering}) /Supplement 0 >> >>"
+        ).encode()
+        bodies[3] = (
+            "<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+            f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R]"
+            f"{font_extra} >>"
+        ).encode()
+    else:
+        bodies[3] = (
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            f"{font_extra} >>"
+        ).encode()
 
     for pi, items in enumerate(pages):
         names = [f"Im{j}" for j in range(len(image_nums[pi]))]
@@ -592,7 +629,7 @@ def build_pdf(
             f"/Contents {content_nums[pi]} 0 R >>"
         ).encode()
 
-        content = _page_content(items, names)
+        content = _page_content(items, names, utf16=utf16_text)
         filt = content_filter or ("FlateDecode" if compress else None)
         if filt:
             data = encode_stream(content, filt)

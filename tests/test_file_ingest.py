@@ -439,6 +439,43 @@ def test_tounicode_cmap_decodes_bfchar_and_bfrange(tmp_path):
     assert pdf_file_to_spans(f2)[0][1] == "日本\n"
 
 
+def test_identity_h_cid_font_without_tounicode(tmp_path):
+    """Composite Identity-H fonts with NO ToUnicode (verdict item 6):
+    2-byte CIDs decode by the descendant's /CIDSystemInfo — the
+    Adobe-Identity-UCS convention (Ordering UCS) round-trips text
+    because CID == code point; any other ordering yields one U+FFFD per
+    CID (count-preserving explicit loss, not Latin-1 mojibake)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    data, _ = build_pdf(
+        [["Chapter 1", "Ünïcode fine."]], font_spec={"type0": "UCS"}
+    )
+    f = tmp_path / "identity_ucs.pdf"
+    f.write_bytes(data)
+    assert [s[1] for s in pdf_file_to_spans(f)] == [
+        "Chapter 1\n", "Ünïcode fine.\n"
+    ]
+
+    data2, _ = build_pdf([["Hello"]], font_spec={"type0": "Identity"})
+    f2 = tmp_path / "identity_raw.pdf"
+    f2.write_bytes(data2)
+    assert pdf_file_to_spans(f2)[0][1] == "�����\n"
+
+    # a ToUnicode on the same composite font stays authoritative
+    data3, _ = build_pdf(
+        [[("rawtext", b"\x00A\x00B")]],
+        font_spec={
+            "type0": "Identity",
+            "tounicode": {"codespace": 2, "bfchar": {0x41: "日", 0x42: "本"}},
+        },
+    )
+    f3 = tmp_path / "identity_tu.pdf"
+    f3.write_bytes(data3)
+    assert pdf_file_to_spans(f3)[0][1] == "日本\n"
+
+
 def test_differences_encoding_maps_glyph_names(tmp_path):
     from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
         build_pdf,
