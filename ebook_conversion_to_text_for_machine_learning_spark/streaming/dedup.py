@@ -1,21 +1,33 @@
-"""Streaming deduplication: watermark-bounded exact dedup on content hash.
+"""Streaming deduplication: exact (watermark-bounded) and near-dup
+(persisted-index) variants.
 
-Engine extension (the reference is batch-only): the streaming sibling of
-``operators.dedup.exact_dedup`` for a continuously-fed corpus. Each
-document is keyed by ``md5(text)``; ``dropDuplicatesWithinWatermark``
-keeps only the first arrival of each hash while the watermark bounds the
-dedup state — the property that makes this viable on an unbounded
-10^12-document stream, where an ever-growing exact-dedup hash table would
-eventually exceed any executor. Duplicates farther apart than the
-watermark are the batch job's responsibility (periodic ``exact_dedup``
-compaction over the landed table); the stream guarantees no duplicate
-within the late-data horizon.
+Engine extensions (the reference is batch-only):
+
+- ``streaming_exact_dedup`` — the streaming sibling of
+  ``operators.dedup.exact_dedup`` for a continuously-fed corpus. Each
+  document is keyed by ``md5(text)``; ``dropDuplicatesWithinWatermark``
+  keeps only the first arrival of each hash while the watermark bounds
+  the dedup state — the property that makes this viable on an unbounded
+  10^12-document stream, where an ever-growing exact-dedup hash table
+  would eventually exceed any executor. Duplicates farther apart than
+  the watermark are the batch job's responsibility (periodic
+  ``exact_dedup`` compaction over the landed table); the stream
+  guarantees no duplicate within the late-data horizon.
+
+- ``stream_near_dedup`` — the streaming incremental NEAR-dup loop:
+  every micro-batch runs ``operators.dedup.ingest_batch_against_index``
+  (dedup against the persisted minhash index, then grow the index by
+  the batch's novelties — O(batch) per step, corpus never re-read), so
+  a document near-duplicating ANYTHING the stream has ever landed is
+  flagged, with no watermark horizon and state bounded by the on-disk
+  index instead of executor memory.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
 
 
 def streaming_exact_dedup(
@@ -32,3 +44,81 @@ def streaming_exact_dedup(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
+
+
+def stream_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    index_path: str,
+    *,
+    schema,
+    text_col: str = "text",
+    max_files_per_trigger: int = 16,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start a file-source streaming near-dup curation job.
+
+    Each micro-batch lands in ``<output>/batch_id=N`` annotated with
+    ``dup_of`` (null ⇒ novel; the doc simultaneously joined the index)
+    via ``ingest_batch_against_index``. Micro-batch N maps to index
+    batch ``N + 1`` (index batch 0 is the initial ``write_minhash_index``
+    full build of the landed corpus — run it before starting, or start
+    against a virgin path and the first batch bootstraps the tables).
+
+    At-least-once safety is inherited wholesale: the ingest step
+    excludes its own index partitions during dedup and overwrites only
+    them during append, and the output write targets the batch's own
+    partition — a replayed batch reproduces its original decisions and
+    files exactly. Single-writer contract: one stream per index path
+    (concurrent writers would collide on index batch ids).
+    """
+    from pyspark.errors import AnalysisException
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        append_to_minhash_index,
+        ingest_batch_against_index,
+    )
+
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df, batch_id: int) -> None:
+        session = batch_df.sparkSession
+        idx_batch = int(batch_id) + 1
+        try:
+            annotated = ingest_batch_against_index(
+                session, batch_df, index_path, batch_id=idx_batch, text_col=text_col
+            )
+        except AnalysisException as ex:
+            # Virgin index path (or an index dir a killed bootstrap left
+            # with no committed files): nothing landed ⇒ everything is
+            # novel, and the append CREATES the tables. Any other read
+            # failure must fail the batch so the stream retries.
+            if (
+                "PATH_NOT_FOUND" not in str(ex)
+                and "UNABLE_TO_INFER_SCHEMA" not in str(ex)
+            ):
+                raise
+            id_type = batch_df.schema["doc_id"].dataType
+            annotated = batch_df.withColumn(
+                "dup_of", F.lit(None).cast(id_type)
+            ).localCheckpoint()
+            append_to_minhash_index(
+                annotated.drop("dup_of"), index_path,
+                batch_id=idx_batch, text_col=text_col,
+            )
+        annotated.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+
+    writer = source.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -469,3 +469,64 @@ def test_compact_seen_sidecar_skips_uncommitted_partitions(spark, tmp_path):
     assert compact_seen_sidecar(spark, seen_dir, checkpoint_dir=ckpt) == 2
     parts = sorted(d for d in os.listdir(seen_dir) if d.startswith("batch_id="))
     assert parts == [f"batch_id={COMPACTED_BATCH_ID}"]
+
+
+def test_stream_near_dedup_flags_against_everything_landed(spark, tmp_path):
+    """Streaming incremental near-dup: micro-batches dedup against the
+    persisted minhash index and grow it, so a later batch's near-dup of
+    ANY earlier batch's novelty is flagged — no watermark horizon, state
+    on disk. Batch 0 bootstraps a virgin index path."""
+    from ebook_conversion_to_text_for_machine_learning_spark.streaming.dedup import (
+        stream_near_dedup,
+    )
+
+    schema = "doc_id long, lang string, text string"
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven anxious "
+        "zebras watch from a quiet hill near the river bend tonight"
+    )
+    novel = "a copper lantern hangs alone in the harbor window tonight waiting quietly"
+    in_dir, out_dir = tmp_path / "in", str(tmp_path / "out")
+    ckpt, idx = str(tmp_path / "ckpt"), str(tmp_path / "idx")
+
+    spark.createDataFrame(
+        [(1, "en", base), (2, "en", novel)], schema
+    ).write.parquet(str(in_dir / "f1"))
+    q = stream_near_dedup(
+        spark, f"{in_dir}/*", out_dir, ckpt, idx,
+        schema=schema, available_now=True,
+    )
+    q.awaitTermination(180)
+    b0 = {r.doc_id: r.dup_of for r in spark.read.parquet(out_dir).collect()}
+    assert b0 == {1: None, 2: None}
+
+    # second drain: near-dups of BOTH batch-0 docs are flagged, and the
+    # batch's own novelty joins the index
+    fresh = "winter trains cross the long iron bridge carrying grain toward the coast"
+    spark.createDataFrame(
+        [
+            (10, "en", base.replace("lazy", "sleepy")),
+            (11, "en", novel.replace("copper", "brass")),
+            (12, "en", fresh),
+        ],
+        schema,
+    ).write.parquet(str(in_dir / "f2"))
+    q2 = stream_near_dedup(
+        spark, f"{in_dir}/*", out_dir, ckpt, idx,
+        schema=schema, available_now=True,
+    )
+    q2.awaitTermination(180)
+    out = {r.doc_id: (r.batch_id, r.dup_of) for r in spark.read.parquet(out_dir).collect()}
+    assert out[10] == (1, 1) and out[11] == (1, 2) and out[12] == (1, None)
+
+    # third drain sees batch 1's novelty too
+    spark.createDataFrame(
+        [(20, "en", fresh.replace("grain", "coal"))], schema
+    ).write.parquet(str(in_dir / "f3"))
+    q3 = stream_near_dedup(
+        spark, f"{in_dir}/*", out_dir, ckpt, idx,
+        schema=schema, available_now=True,
+    )
+    q3.awaitTermination(180)
+    out3 = {r.doc_id: r.dup_of for r in spark.read.parquet(out_dir).collect()}
+    assert out3[20] == 12
