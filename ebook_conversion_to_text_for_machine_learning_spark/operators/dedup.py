@@ -408,12 +408,17 @@ def write_minhash_index(df: DataFrame, path: str, *, text_col: str = "text") -> 
     """
     base = path.rstrip("/")
     bands, grams, counts = _index_tables(df, 0, text_col)
-    bands.write.mode("overwrite").partitionBy("batch_id", "pfx").parquet(
-        f"{base}/bands"
-    )
-    grams.write.mode("overwrite").partitionBy("batch_id", "pfx").parquet(
-        f"{base}/grams"
-    )
+    # Cluster on the partition key before the partitioned write: without
+    # it every input task writes a file into every pfx dir it touches —
+    # O(tasks × 256) tiny files (measured: thousands at test scale, a
+    # metadata catastrophe at corpus scale). The repartition keys each
+    # dir to exactly one task → one well-sized file per partition dir.
+    bands.repartition("pfx").write.mode("overwrite").partitionBy(
+        "batch_id", "pfx"
+    ).parquet(f"{base}/bands")
+    grams.repartition("pfx").write.mode("overwrite").partitionBy(
+        "batch_id", "pfx"
+    ).parquet(f"{base}/grams")
     counts.write.mode("overwrite").partitionBy("batch_id").parquet(f"{base}/counts")
 
 
@@ -442,8 +447,10 @@ def append_to_minhash_index(
     base = path.rstrip("/")
     bands, grams, counts = _index_tables(df, batch_id, text_col)
     for frame, table, parts in (
-        (bands, "bands", ["batch_id", "pfx"]),
-        (grams, "grams", ["batch_id", "pfx"]),
+        # bands/grams cluster on pfx first — one file per partition dir,
+        # not one per (task × dir); see write_minhash_index.
+        (bands.repartition("pfx"), "bands", ["batch_id", "pfx"]),
+        (grams.repartition("pfx"), "grams", ["batch_id", "pfx"]),
         (counts, "counts", ["batch_id"]),
     ):
         (

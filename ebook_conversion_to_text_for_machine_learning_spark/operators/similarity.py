@@ -889,14 +889,17 @@ def write_ann_index(
     sig_fn = (
         lsh_banded_signatures_arrow if signature_path == "arrow" else lsh_banded_signatures
     )
+    # Cluster on the partition key before each partitioned write — one
+    # file per partition dir instead of one per (task × dir); see
+    # dedup.write_minhash_index for the measured small-files blowup.
     sig_fn(
         corpus, dim, vec_col=vec_col, id_col=id_col,
         n_bands=n_bands, band_planes=band_planes,
     ).withColumnRenamed("vec_id", "item_id").withColumn(
         "pfx", _band_pfx(F.col("bucket"))
-    ).write.mode("overwrite").partitionBy("band_id", "pfx").parquet(
-        f"{path}/bands"
-    )
+    ).repartition("band_id", "pfx").write.mode("overwrite").partitionBy(
+        "band_id", "pfx"
+    ).parquet(f"{path}/bands")
     centroids = ivf_centroids(
         corpus, target_cells=target_cells, stride=stride,
         vec_col=vec_col, id_col=id_col,
@@ -908,7 +911,9 @@ def write_ann_index(
         F.col(vec_col).alias("item_vec"),
         "cell_id",
         F.pmod(F.col("cell_id"), F.lit(_CELL_PARTITIONS)).cast("int").alias("cell_pfx"),
-    ).write.mode("overwrite").partitionBy("cell_pfx").parquet(f"{path}/cells")
+    ).repartition("cell_pfx").write.mode("overwrite").partitionBy(
+        "cell_pfx"
+    ).parquet(f"{path}/cells")
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids], "cid long, cvec array<float>"
@@ -1498,6 +1503,124 @@ def pq_probe_tables_arrow(
     )
 
 
+def pq_adc_scores_arrow(
+    cands_with_codes: DataFrame,
+    probes: DataFrame,
+    codebooks: list,
+    *,
+    prune_per_batch: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production-rate ADC scoring: one numpy LUT *gather* per Arrow
+    batch over (probe_id, item_id, codes) candidate rows — the memory
+    path real IVFADC engines use, here as the Arrow twin of the join
+    formulation.
+
+    Why it exists (measured on the scaling corpus, 1024 probes × 16M
+    candidates): the join path explodes candidates ×m (131M rows),
+    probes a 2M-entry broadcast hash relation per row (cache-hostile —
+    the relation is ~100× L2), and re-aggregates with a 16M-key hash
+    groupBy; cores stall on DRAM instead of computing. This path reads
+    each candidate row ONCE, gathers ``LUT[probe, subspace, code]``
+    vectorized (the LUT tensor is probes × m × k int64 — 16 MB at
+    1024×8×256, shipped once per executor), and needs no explode, no
+    broadcast hash join, no re-aggregation.
+
+    Quantization is the ``_pq_qdist`` exact-integer rule, so scores are
+    BIT-IDENTICAL to the join path and the SQL oracle (path-agreement
+    pinned by test). ``prune_per_batch=R`` keeps only each batch's
+    top-R rows per probe by the global ordering ``(adc ASC, item ASC)``
+    — the global top-R is a subset of the union of batch top-Rs, so
+    downstream shortlist selection is EXACTLY unchanged while the
+    shortlist shuffle shrinks from |candidates| to ≈ batches × probes
+    × R rows (the standard partial-top-k trick, same spirit as
+    map-side combine).
+
+    Probe vectors are collected to the driver to build the LUT — the
+    same data volume the join path ships through its broadcast, bounded
+    by the probe batch by design.
+
+    Returns (probe_id, item_id, adc_x10k).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cb = _codebook_tensor(codebooks)  # (m, k, d0)
+    m, k, d0 = cb.shape
+    rows = probes.select(id_col, vec_col).collect()
+    probe_ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    order = np.argsort(probe_ids)
+    probe_ids = probe_ids[order]
+    x = np.stack(
+        [np.asarray(rows[i][1], dtype=np.float64) for i in order]
+    ).reshape(len(rows), m, 1, d0)
+    diff = x - cb[None, :, :, :]
+    lut = np.floor(diff * diff * 10000.0 + 0.5).astype(np.int64).sum(-1)
+    bc = cands_with_codes.sparkSession.sparkContext.broadcast((probe_ids, lut))
+    sub = np.arange(m, dtype=np.int64)
+
+    def score(chunk: pd.DataFrame) -> pd.DataFrame:
+        pids, table = bc.value
+        bp = chunk["probe_id"].to_numpy()
+        pidx = np.searchsorted(pids, bp)
+        if not np.array_equal(pids[np.clip(pidx, 0, len(pids) - 1)], bp):
+            raise ValueError(
+                "pq_adc_scores_arrow: candidate rows reference probe "
+                "ids absent from the probe frame"
+            )
+        codes_mat = np.stack(
+            [np.asarray(c, dtype=np.int64) for c in chunk["codes"]]
+        )
+        q = table[pidx[:, None], sub[None, :], codes_mat].sum(axis=1)
+        out = pd.DataFrame(
+            {
+                "probe_id": chunk["probe_id"].to_numpy(),
+                "item_id": chunk["item_id"].to_numpy(),
+                "adc_x10k": q,
+            }
+        )
+        if prune_per_batch is not None:
+            out = (
+                out.sort_values(["probe_id", "adc_x10k", "item_id"])
+                .groupby("probe_id", sort=False)
+                .head(prune_per_batch)
+            )
+        return out
+
+    # Accumulate incoming Arrow batches to ~64k rows before scoring: the
+    # session's arrow.maxRecordsPerBatch is tuned small (512) to bound
+    # giant-DOCUMENT batches, but candidate rows are ~50 bytes — at 512
+    # rows/batch the per-batch Python overhead dominates (~2ms × 31k
+    # batches on the scaling corpus) and per-batch pruning never prunes
+    # (a batch holds ≤ R rows per probe already). Chunking inside the
+    # generator makes the operator independent of the session knob.
+    _TARGET = 65536
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list = []
+        n = 0
+        for batch in it:
+            if not len(batch):
+                continue
+            buf.append(batch)
+            n += len(batch)
+            if n >= _TARGET:
+                yield score(pd.concat(buf, ignore_index=True))
+                buf, n = [], 0
+        if buf:
+            yield score(pd.concat(buf, ignore_index=True))
+
+    id_type = dict(cands_with_codes.dtypes).get("item_id", "bigint")
+    p_type = dict(cands_with_codes.dtypes).get("probe_id", "bigint")
+    return cands_with_codes.select("probe_id", "item_id", "codes").mapInPandas(
+        batches,
+        schema=f"probe_id {p_type}, item_id {id_type}, adc_x10k long",
+    )
+
+
 def pq_probe_tables(
     probes: DataFrame,
     codebooks: list,
@@ -1641,9 +1764,19 @@ def _exact_rerank(
     vectors fetched with a broadcast semi-join (the raw-vector table is
     scanned column-pruned, never shuffled, never crossed with the probe
     set), ranked (round(cos,4) DESC, item_id ASC). Shared by every
-    PQ-backed search (``pq_adc_rerank_topk``, ``ivfpq_topk``)."""
+    PQ-backed search (``pq_adc_rerank_topk``, ``ivfpq_topk``).
+
+    The shortlist is MATERIALIZED first: it feeds two different
+    broadcast subtrees (the semi-join prefilter and the scoring join),
+    which are not canonically equal, so ReuseExchange cannot
+    deduplicate them — without the checkpoint the entire upstream ADC
+    explode-join-aggregate computed TWICE per query (measured 16s of a
+    44s ivfpq pass on the scaling corpus). The shortlist itself is tiny
+    (probes × R rows), so pinning it costs one small job.
+    """
     from pyspark.sql.window import Window
 
+    sl = sl.localCheckpoint()
     cand_vecs = corpus.select(
         F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec")
     ).join(F.broadcast(sl.select("item_id").distinct()), "item_id", "left_semi")
@@ -1739,10 +1872,18 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     cells: DataFrame | None = None,
     codes: DataFrame | None = None,
+    adc_path: str = "arrow",
 ) -> DataFrame:
     """IVFADC — the canonical billion-scale ANN composition (Jégou et
     al.): IVF cells prune WHICH vectors to score, PQ codes decide HOW
     CHEAPLY to score them, exact re-rank restores ordering fidelity.
+
+    ``adc_path="arrow"`` (production default) scores candidates with the
+    LUT-gather kernel ``pq_adc_scores_arrow`` including per-batch
+    partial top-R pruning; ``"join"`` is the JVM-join twin (explode ×m +
+    broadcast probe tables + hash re-aggregate) whose plan the SQL
+    oracle mirrors — exact-integer quantization makes the two paths
+    agree bit-for-bit (path-agreement test).
 
     Cost model at lake scale: the ADC sum touches only vectors in the
     ``nprobe`` probed cells (≈ nprobe/cells of the corpus) and reads m
@@ -1778,18 +1919,29 @@ def ivfpq_topk(
         .where(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", F.col("vec_id").alias("item_id"))
     )
-    m = len(codebooks)
-    cand_codes = cand.join(
+    cwc = cand.join(
         codes.select(F.col("vec_id").alias("item_id"), "codes"), "item_id"
-    ).select("probe_id", "item_id", F.posexplode("codes").alias("subspace", "code"))
-    tables = pq_probe_tables_arrow(probes, codebooks, vec_col=vec_col, id_col=id_col)
-    adc = (
-        cand_codes.join(F.broadcast(tables), ["probe_id", "subspace", "code"])
-        .groupBy("probe_id", "item_id")
-        .agg(F.sum("q").alias("adc_x10k"), F.count("*").alias("_n"))
-        .where(F.col("_n") == m)
-        .drop("_n")
     )
+    if adc_path == "arrow":
+        adc = pq_adc_scores_arrow(
+            cwc, probes, codebooks,
+            prune_per_batch=r, vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        m = len(codebooks)
+        cand_codes = cwc.select(
+            "probe_id", "item_id", F.posexplode("codes").alias("subspace", "code")
+        )
+        tables = pq_probe_tables_arrow(
+            probes, codebooks, vec_col=vec_col, id_col=id_col
+        )
+        adc = (
+            cand_codes.join(F.broadcast(tables), ["probe_id", "subspace", "code"])
+            .groupBy("probe_id", "item_id")
+            .agg(F.sum("q").alias("adc_x10k"), F.count("*").alias("_n"))
+            .where(F.col("_n") == m)
+            .drop("_n")
+        )
     wsl = Window.partitionBy("probe_id").orderBy(F.asc("adc_x10k"), F.asc("item_id"))
     sl = (
         adc.withColumn("_r", F.row_number().over(wsl))

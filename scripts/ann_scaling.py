@@ -16,7 +16,17 @@ Measurement preconditions (same rationale as ``dedup_scaling.py``):
 2. the probe side stays broadcast on purpose — that IS the operator's
    scale shape (probe×nprobe and per-probe ADC tables are tiny by
    design) and their build cost is milliseconds, not the Amdahl serial
-   step the dedup chain's gram-table broadcast was.
+   step the dedup chain's gram-table broadcast was;
+3. scan splits must reflect the production regime. The ADC stage's map
+   work is ~1000× its input bytes (each candidate row explodes into m
+   code rows joined against the probe tables), but Spark sizes scan
+   partitions by INPUT bytes — at test scale the whole cells+codes
+   input is ~40 MB, so the default 128 MB packing ran the entire 262M-
+   row ADC stage in 2-4 tasks and N→4N measured 0.275 (task-starved,
+   not operator-limited). A production codes table is terabytes across
+   thousands of splits; ``maxPartitionBytes=1m`` reproduces that
+   many-splits regime at test scale so the measurement exercises the
+   operator, not the file packer.
 
     python scripts/ann_scaling.py [--sf-dir DIR] [--x 64] [--probes 256]
 """
@@ -46,7 +56,12 @@ from pyspark.sql import functions as F
 spark = build_session(master="local[8]", shuffle_partitions=16)
 spark.sparkContext.setLogLevel("ERROR")
 emb = spark.read.parquet({src!r})
-parts = [emb.select((F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+# Dense id remap (orig*x + i): replica ids interleave, so the stride
+# centroid rule (vec_id % stride == 0) samples DISTINCT base vectors.
+# The first attempt's orig + i*10M scheme made every sampled id a copy
+# of vector 0 (10M % stride == 0) -> 64 identical centroids -> the
+# whole corpus in one cell.
+parts = [emb.select((F.col("vec_id") * {x} + F.lit(i)).alias("vec_id"),
                     "embedding")
          for i in range({x})]
 big = parts[0]
@@ -69,12 +84,23 @@ from pyspark.sql import functions as F
 cpus = int(sys.argv[1])
 spark = build_session(app_name=f"ann-scale-{{cpus}}", master=f"local[{{cpus}}]",
                       shuffle_partitions=max(cpus, 32),
-                      extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                      extra_conf={{"spark.ui.showConsoleProgress": "false",
+                                   "spark.sql.files.maxPartitionBytes": "1m",
+                                   "spark.sql.files.openCostInBytes": "65536"}})
 spark.sparkContext.setLogLevel("ERROR")
 idx = S.read_ann_index(spark, {ann_idx!r})
 books, codes = S.read_pq_index(spark, {pq_idx!r})
 corpus = spark.read.parquet({corpus!r})
-probes = corpus.where(F.col("vec_id") < {probes}).localCheckpoint()
+n_corpus = corpus.count()
+stride = (n_corpus // {probes}) or 1
+# repartition after limit(): limit coalesces to ONE partition, which
+# would serialize the probe-side Arrow stages.
+probes = (
+    corpus.where(F.col("vec_id") % stride == 1)
+    .limit({probes})
+    .repartition(max(cpus, 8))
+    .localCheckpoint()
+)
 cells = idx.cells.select(F.col("item_id").alias("vec_id"), "cell_id")
 
 def run():

@@ -148,6 +148,19 @@ def test_append_to_minhash_index_matches_full_rebuild(spark, tmp_path):
     append_to_minhash_index(day1, grown, batch_id=1)
     assert decisions(grown) == want
 
+    # small-files discipline: the writers cluster on pfx before the
+    # partitioned write, so every partition dir holds exactly ONE data
+    # file (unclustered partitionBy writes one per task × dir).
+    import glob as _glob
+    import os as _os
+
+    for table in ("bands", "grams"):
+        dirs = _glob.glob(f"{grown}/{table}/batch_id=*/pfx=*")
+        assert dirs
+        for d in dirs:
+            files = [f for f in _os.listdir(d) if f.startswith("part-")]
+            assert len(files) == 1, (d, files)
+
     import pytest
 
     with pytest.raises(ValueError):
@@ -1139,6 +1152,20 @@ def test_ivfpq_topk_recall_on_planted_neighbors(spark):
         len(v) for v in truth.values()
     )
     assert recall >= 0.85, recall
+
+    # path agreement: the Arrow LUT-gather ADC (production default,
+    # with per-batch partial top-R pruning) and the JVM-join twin score
+    # with the same exact integers, so the full composed output —
+    # shortlist membership included — is identical row-for-row.
+    arrow_rows = {tuple(r) for r in out.collect()}
+    join_rows = {
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, probes, cents, books, k=5, nprobe=8, shortlist=50,
+            adc_path="join",
+        ).collect()
+    }
+    assert arrow_rows == join_rows
     emb.unpersist()
 
 
