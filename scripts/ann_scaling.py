@@ -86,7 +86,14 @@ spark = build_session(app_name=f"ann-scale-{{cpus}}", master=f"local[{{cpus}}]",
                       shuffle_partitions=max(cpus, 32),
                       extra_conf={{"spark.ui.showConsoleProgress": "false",
                                    "spark.sql.files.maxPartitionBytes": "1m",
-                                   "spark.sql.files.openCostInBytes": "65536"}})
+                                   "spark.sql.files.openCostInBytes": "65536",
+                                   # AQE sizes post-shuffle stages by BYTES
+                                   # (64MB advisory) — right for JVM stages,
+                                   # wrong above an Arrow-Python kernel doing
+                                   # ~100x the work per byte: the candidate
+                                   # join's 256MB output coalesced to 4-12
+                                   # tasks and left local[8] half idle.
+                                   "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m"}})
 spark.sparkContext.setLogLevel("ERROR")
 idx = S.read_ann_index(spark, {ann_idx!r})
 books, codes = S.read_pq_index(spark, {pq_idx!r})
