@@ -170,6 +170,40 @@ def main() -> None:
         "ONE packing-window shuffle sharded on md5-bucket % n_shards.",
     )
     add(
+        "Incremental near-dup probe (partition-pruned index scans)",
+        queries["dedup_against_index"](spark, sf_dir),
+        "Both corpus-scale index tables carry a pfx PartitionFilter from "
+        "the batch's realized prefix sets (bounded int collects), so the "
+        "probe reads a handful of files; the candidate prefilter stays a "
+        "broadcast LeftSemi and index totals come from counts/ — the "
+        "batch, never the corpus, pays the query.",
+    )
+    add(
+        "n-gram Jaccard (exact size-bucket composite blocking)",
+        queries["ngram_jaccard"](spark, sf_dir),
+        "The pair join keys on (lang, size-bucket) with home/guest roles "
+        "rejecting guest x guest — provably identical output to whole-"
+        "language blocking with groups bounded by the size histogram; the "
+        "Jaccard acceptance predicate sits LAST in the join conjunction "
+        "so the O(n) array_intersect runs only after the integer guards.",
+    )
+    add(
+        "IVFADC (Arrow LUT-gather ADC, no explode, no giant broadcast)",
+        queries["ivfpq_topk"](spark, sf_dir),
+        "Candidates keep their m codes as one array row into MapInPandas "
+        "(the LUT gather + per-batch partial top-R prune) — no xm "
+        "posexplode, no 2M-entry broadcast hash relation, no re-aggregate "
+        "shuffle; the shortlist re-ranks with exact cosine against a "
+        "semi-join-pruned vector fetch.",
+    )
+    add(
+        "BPE encode (fold of literal replaces, pure map)",
+        queries["bpe_encode"](spark, sf_dir),
+        "48 literal JVM replace() calls inside whole-stage codegen over "
+        "the delimited symbol representation — zero Exchange nodes, zero "
+        "Python; the oracle runs the identical replace chain.",
+    )
+    add(
         "Frame sampling (JVM-side bounded explode)",
         M.sample_frames(
             M.attach_payloads(
