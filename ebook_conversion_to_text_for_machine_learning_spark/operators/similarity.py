@@ -863,6 +863,7 @@ def write_ann_index(
     target_cells: int = IVF_TARGET_CELLS,
     stride: int | None = None,
     signature_path: str = "arrow",
+    centroids: list | None = None,
 ) -> None:
     """Persist the reusable halves of both ANN structures:
 
@@ -874,46 +875,34 @@ def write_ann_index(
     - ``meta``    — one row of the knobs the index was built with, so a
       reader cannot accidentally band probes with mismatched planes
 
-    Probe-pruned layout: ``bands/`` is hive-partitioned by ``band_id``
-    and ``pfx`` (the bucket bit-string's leading ``_BAND_PFX_BITS`` bits
-    as an int) and ``cells/`` by ``cell_pfx`` (``cell_id mod
-    _CELL_PARTITIONS``), so the ``*_topk_indexed`` paths read only the
-    partitions a probe batch's buckets / probed cells land in instead of
-    scanning the corpus-scale tables — the same file-pruning contract as
-    the minhash dedup index (``operators/dedup.py``). The modulo keeps
-    the directory count bounded (256) at the advertised 65536-cell
-    setting; exact cell matching still happens in the join.
+    Probe-pruned, append-ready layout: both tables are hive-partitioned
+    by ``batch_id`` (the full build is batch 0;
+    ``append_to_ann_index`` grows the index one idempotent batch at a
+    time), then ``bands/`` by ``band_id`` and ``pfx`` (the bucket
+    bit-string's leading ``_BAND_PFX_BITS`` bits as an int) and
+    ``cells/`` by ``cell_pfx`` (``cell_id mod _CELL_PARTITIONS``), so
+    the ``*_topk_indexed`` paths read only the partitions a probe
+    batch's buckets / probed cells land in instead of scanning the
+    corpus-scale tables — the same file-pruning contract as the minhash
+    dedup index (``operators/dedup.py``). The modulo keeps the
+    directory count bounded (256) at the advertised 65536-cell setting;
+    exact cell matching still happens in the join.
 
     Everything is written ``overwrite`` so a rebuild is idempotent.
+    ``centroids`` overrides the stride sample (k-means output, or a
+    frozen codebook an append must stay consistent with).
     """
-    sig_fn = (
-        lsh_banded_signatures_arrow if signature_path == "arrow" else lsh_banded_signatures
-    )
-    # Cluster on the partition key before each partitioned write — one
-    # file per partition dir instead of one per (task × dir); see
-    # dedup.write_minhash_index for the measured small-files blowup.
-    sig_fn(
-        corpus, dim, vec_col=vec_col, id_col=id_col,
-        n_bands=n_bands, band_planes=band_planes,
-    ).withColumnRenamed("vec_id", "item_id").withColumn(
-        "pfx", _band_pfx(F.col("bucket"))
-    ).repartition("band_id", "pfx").write.mode("overwrite").partitionBy(
-        "band_id", "pfx"
-    ).parquet(f"{path}/bands")
-    centroids = ivf_centroids(
-        corpus, target_cells=target_cells, stride=stride,
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, target_cells=target_cells, stride=stride,
+            vec_col=vec_col, id_col=id_col,
+        )
+    _write_ann_batch(
+        corpus, dim, path, 0, centroids, dynamic=False,
         vec_col=vec_col, id_col=id_col,
+        n_bands=n_bands, band_planes=band_planes,
+        signature_path=signature_path,
     )
-    ivf_assign_arrow(
-        corpus, centroids, vec_col=vec_col, id_col=id_col, keep_vec=True
-    ).select(
-        F.col("vec_id").alias("item_id"),
-        F.col(vec_col).alias("item_vec"),
-        "cell_id",
-        F.pmod(F.col("cell_id"), F.lit(_CELL_PARTITIONS)).cast("int").alias("cell_pfx"),
-    ).repartition("cell_pfx").write.mode("overwrite").partitionBy(
-        "cell_pfx"
-    ).parquet(f"{path}/cells")
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids], "cid long, cvec array<float>"
@@ -921,6 +910,106 @@ def write_ann_index(
     spark.createDataFrame(
         [(dim, n_bands, band_planes)], "dim int, n_bands int, band_planes int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _write_ann_batch(
+    corpus: DataFrame,
+    dim: int,
+    path: str,
+    batch_id: int,
+    centroids: list,
+    *,
+    dynamic: bool,
+    vec_col: str,
+    id_col: str,
+    n_bands: int,
+    band_planes: int,
+    signature_path: str,
+) -> None:
+    # The full build (dynamic=False) STATICALLY overwrites — truncating
+    # the table dir, so a rebuild over a stale/older layout can never
+    # leave conflicting partition dirs behind. Appends (dynamic=True)
+    # replace only their own batch partitions.
+    sig_fn = (
+        lsh_banded_signatures_arrow if signature_path == "arrow" else lsh_banded_signatures
+    )
+    bid = F.lit(batch_id).cast("int")
+    # Cluster on the partition key before each partitioned write — one
+    # file per partition dir instead of one per (task × dir); see
+    # dedup.write_minhash_index for the measured small-files blowup.
+    bands = (
+        sig_fn(
+            corpus, dim, vec_col=vec_col, id_col=id_col,
+            n_bands=n_bands, band_planes=band_planes,
+        )
+        .withColumnRenamed("vec_id", "item_id")
+        .withColumn("batch_id", bid)
+        .withColumn("pfx", _band_pfx(F.col("bucket")))
+        .repartition("band_id", "pfx")
+    )
+    cells = (
+        ivf_assign_arrow(
+            corpus, centroids, vec_col=vec_col, id_col=id_col, keep_vec=True
+        )
+        .select(
+            F.col("vec_id").alias("item_id"),
+            F.col(vec_col).alias("item_vec"),
+            "cell_id",
+            bid.alias("batch_id"),
+            F.pmod(F.col("cell_id"), F.lit(_CELL_PARTITIONS)).cast("int").alias("cell_pfx"),
+        )
+        .repartition("cell_pfx")
+    )
+    mode_opt = "dynamic" if dynamic else "static"
+    (
+        bands.write.mode("overwrite")
+        .option("partitionOverwriteMode", mode_opt)
+        .partitionBy("batch_id", "band_id", "pfx")
+        .parquet(f"{path}/bands")
+    )
+    (
+        cells.write.mode("overwrite")
+        .option("partitionOverwriteMode", mode_opt)
+        .partitionBy("batch_id", "cell_pfx")
+        .parquet(f"{path}/cells")
+    )
+
+
+def append_to_ann_index(
+    corpus_batch: DataFrame,
+    path: str,
+    *,
+    batch_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    signature_path: str = "arrow",
+) -> None:
+    """Grow a ``write_ann_index`` index by one batch — O(batch).
+
+    The embedding-lake sibling of ``dedup.append_to_minhash_index``: a
+    daily vector batch bands and cell-assigns against the index's OWN
+    frozen knobs (planes from ``meta``, centroids from ``codebook`` —
+    never re-derived, so cell ids and buckets stay consistent with every
+    earlier batch) and lands in its ``batch_id=<id>`` partitions with
+    dynamic partition overwrite: replaying a crashed append rewrites the
+    same files, and the corpus-scale batch 0 is never re-signatured.
+    Searches through ``read_ann_index`` see the union automatically.
+
+    Contract: ids must be new to the index (one batch per vector), and
+    the codebook is frozen at build time — after heavy drift, rebuild
+    with ``write_ann_index`` (optionally passing k-means ``centroids=``)
+    as the compaction step.
+    """
+    if batch_id == 0:
+        raise ValueError("batch_id 0 is reserved for the full build")
+    spark = corpus_batch.sparkSession
+    idx = read_ann_index(spark, path)
+    _write_ann_batch(
+        corpus_batch, idx.dim, path, batch_id, idx.centroids, dynamic=True,
+        vec_col=vec_col, id_col=id_col,
+        n_bands=idx.n_bands, band_planes=idx.band_planes,
+        signature_path=signature_path,
+    )
 
 
 def read_ann_index(spark, path: str) -> AnnIndex:
@@ -1819,7 +1908,12 @@ def write_pq_index(
     ``write_ann_index``/``write_minhash_index``; repeated probe batches
     then run ``pq_adc_topk``/``pq_adc_rerank_topk`` with ``codes=`` and
     never re-encode (or, for raw ADC, even re-read) the corpus.
-    ``kmeans_iters > 0`` Lloyd-trains the codebooks before encoding."""
+    ``kmeans_iters > 0`` Lloyd-trains the codebooks before encoding.
+
+    ``codes/`` is hive-partitioned by ``batch_id`` (full build = 0) so
+    ``append_to_pq_index`` can grow the code table one idempotent batch
+    at a time against the frozen codebooks.
+    """
     base = path.rstrip("/")
     if kmeans_iters > 0:
         books = pq_kmeans_codebooks(
@@ -1840,9 +1934,40 @@ def write_pq_index(
     spark.createDataFrame(
         rows, "subspace int, code int, cvec array<double>"
     ).write.mode("overwrite").parquet(f"{base}/codebooks")
-    pq_encode(corpus, books, vec_col=vec_col, id_col=id_col).write.mode(
-        "overwrite"
-    ).parquet(f"{base}/codes")
+    pq_encode(corpus, books, vec_col=vec_col, id_col=id_col).withColumn(
+        "batch_id", F.lit(0).cast("int")
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(f"{base}/codes")
+
+
+def append_to_pq_index(
+    corpus_batch: DataFrame,
+    path: str,
+    *,
+    batch_id: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Grow a ``write_pq_index`` code table by one batch — O(batch).
+
+    Encodes against the index's FROZEN codebooks (read back exactly;
+    doubles are lossless in parquet) and lands in the batch's own
+    ``codes/batch_id=<id>`` partition with dynamic partition overwrite —
+    idempotent under at-least-once replay, corpus never re-encoded.
+    Same drift contract as ``append_to_ann_index``: rebuild (optionally
+    with retrained codebooks) as the compaction step.
+    """
+    if batch_id == 0:
+        raise ValueError("batch_id 0 is reserved for the full build")
+    spark = corpus_batch.sparkSession
+    books, _ = read_pq_index(spark, path)
+    (
+        pq_encode(corpus_batch, books, vec_col=vec_col, id_col=id_col)
+        .withColumn("batch_id", F.lit(batch_id).cast("int"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{path.rstrip('/')}/codes")
+    )
 
 
 def read_pq_index(spark, path: str) -> tuple:

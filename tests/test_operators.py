@@ -1984,3 +1984,76 @@ def test_dedup_components_chains_and_keepers(spark):
         dedup_components(ids10, chain, max_iterations=2)
     full = {r.doc_id: r.component for r in dedup_components(ids10, chain).collect()}
     assert set(full.values()) == {0}
+
+
+def test_ann_and_pq_index_append_matches_frozen_rebuild(spark, tmp_path):
+    """Index growth symmetry (the minhash append's ANN/PQ siblings): a
+    batch appended against the index's frozen codebook/planes must yield
+    an index decision-identical to a full rebuild over the grown corpus
+    WITH the same frozen centroids — and replaying the append changes
+    nothing."""
+    import random
+
+    import pytest
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        append_to_ann_index,
+        append_to_pq_index,
+        ivf_ann_topk_indexed,
+        lsh_ann_topk_indexed,
+        pq_encode,
+        read_ann_index,
+        read_pq_index,
+        write_ann_index,
+        write_pq_index,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    base = _emb_df(spark, rows[:80])
+    batch = _emb_df(spark, rows[80:])
+    full = _emb_df(spark, rows)
+    probes = full.where(F.col("vec_id") % 17 == 0)
+
+    grown = str(tmp_path / "ann_grown")
+    write_ann_index(base, 16, grown, target_cells=8, n_bands=4, band_planes=4)
+    append_to_ann_index(batch, grown, batch_id=1)
+    frozen = read_ann_index(spark, grown).centroids
+    rebuilt = str(tmp_path / "ann_rebuilt")
+    write_ann_index(
+        full, 16, rebuilt, n_bands=4, band_planes=4, centroids=frozen
+    )
+
+    def results(path, fn):
+        idx = read_ann_index(spark, path)
+        return sorted(tuple(r) for r in fn(idx, probes, k=3).collect())
+
+    for fn in (ivf_ann_topk_indexed, lsh_ann_topk_indexed):
+        got = results(grown, fn)
+        assert got == results(rebuilt, fn) and got
+
+    # new-batch items are actually findable through the grown index
+    near_new = {r.item_id for r in ivf_ann_topk_indexed(
+        read_ann_index(spark, grown), batch, k=3, nprobe=8).collect()}
+    assert any(i >= 80 for i in near_new)
+
+    # idempotent replay + reserved batch 0
+    append_to_ann_index(batch, grown, batch_id=1)
+    assert results(grown, ivf_ann_topk_indexed) == results(rebuilt, ivf_ann_topk_indexed)
+    with pytest.raises(ValueError):
+        append_to_ann_index(batch, grown, batch_id=0)
+
+    # PQ codes: appended table == frozen-codebook encode of the union
+    pqp = str(tmp_path / "pq")
+    write_pq_index(base, pqp, m=4, target_codes=8)
+    append_to_pq_index(batch, pqp, batch_id=1)
+    append_to_pq_index(batch, pqp, batch_id=1)  # replay
+    books, codes = read_pq_index(spark, pqp)
+    got = {(r.vec_id, tuple(r.codes)) for r in codes.collect()}
+    want = {
+        (r.vec_id, tuple(r.codes))
+        for r in pq_encode(full, books).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        append_to_pq_index(batch, pqp, batch_id=0)
