@@ -1517,44 +1517,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # entries of queries() each round.  With >50 registered queries, front-load
 # the ones with the fewest driver rows so every query gets a driver-verified
 # CORRECTNESS row at least every other round:
-#   - round 3 sampled positions 1-50 of the round-3 ordering, leaving the
-#     26 below unsampled (14 of them have NEVER had a driver row);
-#   - round 4 therefore fronts those 26 (+ any new round-4 queries, which
+#   - round 4 sampled positions 1-50 of the round-4 ordering (all 50 green
+#     in CORRECTNESS_r04.json), leaving the 28 below unsampled — all of them
+#     last driver-checked in round 3;
+#   - round 5 therefore fronts those 28 (+ any new round-5 queries, which
 #     are appended to this list as they are registered);
-#   - next round, update this list to front whatever round 4 left unsampled
-#     (the tail of the round-4 ordering past position 50).
+#   - next round, update this list to front whatever round 5 left unsampled
+#     (the tail of the round-5 ordering past the driver's sample window).
 _DRIVER_FRONT = [
-    # new in round 4 (never driver-checked)
-    "bpe_encode",
-    "bpe_token_stats",
-    # never driver-checked (added round 3, outside the r3 window)
-    "ivf_kmeans_cells",
-    "lsh_ann_topk_indexed",
-    "ivf_ann_topk_indexed",
-    "pq_codes",
-    "pq_ann_topk",
-    "pq_rerank_topk",
-    "ivfpq_topk",
-    "semantic_dedup",
-    "semantic_dedup_kmeans",
-    "event_funnel",
-    "asof_latest_order",
-    "pivot_event_counts",
-    "events_hourly",
-    "events_percentiles",
-    # last driver-checked in round 2
-    "lsh_ann_topk",
-    "ivf_cells",
-    "ivf_ann_topk",
-    "embedding_near_dup",
-    "media_features",
-    "frame_samples",
-    "resize_media",
-    "transcript_enrichment",
-    "pricing_summary",
-    "nation_revenue",
-    "top_events_per_user",
-    "sessionization",
+    # new in round 5 (never driver-checked); note pq_ann_topk /
+    # pq_rerank_topk (fresh r4 rows) now route through the Arrow scan
+    # kernel by default — their oracles verify the Arrow path from here on
+    "dedup_index_probe",
+    # last driver-checked in round 3 (outside the r4 50-query window)
+    "split_assign",
+    "stratified_sample",
+    "pack_sequences",
+    "repetition_signals",
+    "line_repetition",
+    "corpus_stats",
+    "source_mix_stats",
+    "temperature_mix",
+    "domain_affinity",
+    "quality_filter_funnel",
+    "exact_dedup",
+    "line_dedup",
+    "repeated_passages",
+    "gram_novelty",
+    "decontaminate",
+    "decontaminate_join",
+    "minhash_signatures",
+    "minhash_candidates",
+    "ngram_jaccard",
+    "minhash_verified_dedup",
+    "source_dedup_matrix",
+    "dedup_against_index",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "dedup_components",
+    "cosine_topk",
+    "knn_label_vote",
+    "lsh_signatures",
 ]
 
 

@@ -644,6 +644,85 @@ def test_pq_adc_topk_is_exact_when_corpus_is_the_codebook(spark):
         ]
 
 
+def test_pq_adc_topk_scan_path_agreement(spark):
+    """The brute-force Arrow LUT-gather scan (production default) and
+    the explode×m JVM-join twin score with the same exact integers, so
+    top-k output is identical row-for-row — including rank assignment
+    under quantization ties (the per-chunk partial top-k keeps the
+    (adc ASC, item ASC) total order, so the union of chunk top-k sets
+    is a superset of the global top-k)."""
+    import random
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    rng = random.Random(7)
+    # duplicate vectors on purpose: quantization ties exercise the
+    # boundary-tie handling of the chunk-level selection
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    rows = [(i, base[i % 40]) for i in range(120)]
+    df = _emb_df(spark, rows)
+    probes = df.where(F.col("vec_id") < 4)
+    books = pq_codebooks(df, m=2, target_codes=8)
+    arrow = sorted(map(tuple, pq_adc_topk(df, probes, books, k=6).collect()))
+    join = sorted(
+        map(
+            tuple,
+            pq_adc_topk(df, probes, books, k=6, scan_path="join").collect(),
+        )
+    )
+    assert arrow == join and len(arrow) == 4 * 6
+    rr_arrow = sorted(
+        map(tuple, pq_adc_rerank_topk(df, probes, books, k=3, shortlist=9).collect())
+    )
+    rr_join = sorted(
+        map(
+            tuple,
+            pq_adc_rerank_topk(
+                df, probes, books, k=3, shortlist=9, scan_path="join"
+            ).collect(),
+        )
+    )
+    assert rr_arrow == rr_join
+
+
+def test_arrow_lut_paths_reject_non_integral_ids(spark):
+    """The Arrow LUT kernels index numpy tables by id — a string-keyed
+    probe frame must fail fast with a usable TypeError, not a mid-job
+    numpy error (advice r4)."""
+    import pytest
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        pq_adc_scan_arrow,
+        pq_adc_scores_arrow,
+        pq_codebooks,
+    )
+
+    df = _emb_df(spark, [(i, [float(i), 0.0]) for i in range(8)])
+    books = pq_codebooks(df, m=1, target_codes=4)
+    str_probes = df.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        pq_adc_scan_arrow(
+            df.select("vec_id").withColumn("codes", F.array(F.lit(0))),
+            str_probes,
+            books,
+            per_probe_r=2,
+        )
+    with pytest.raises(TypeError, match="integral"):
+        pq_adc_scores_arrow(
+            df.selectExpr(
+                "vec_id as probe_id", "vec_id as item_id", "array(0) as codes"
+            ),
+            str_probes,
+            books,
+        )
+
+
 def test_pq_index_round_trip_identical_topk(spark, tmp_path):
     import random
 

@@ -373,15 +373,32 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark, tmp_path):
         emb, probes, books, k=5, codes=spark.read.parquet(codes_path)
     )
     plan = plan_of(out)
-    # Two scans: the codes table + the probe rows. The corpus embedding
-    # parquet must NOT be scanned a second time for the ADC side.
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
-    # Exactly ONE MapInPandas — the probe-side ADC tables (bounded by the
-    # probe set). A second one would be a corpus re-encode.
+    # Arrow scan path (default): ONE scan — the codes table. The probe
+    # LUT is built eagerly at call time and shipped via broadcast
+    # variable, so the lazy plan touches nothing else; the corpus
+    # embedding parquet must NOT appear at all.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "embeddings.parquet" not in plan
+    # Exactly ONE MapInPandas — the LUT-gather scorer. A second one
+    # would be a corpus re-encode.
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     assert "BatchEvalPython" not in plan
-    assert "BroadcastHashJoin" in plan  # probe tables broadcast
-    assert "partial_sum" in plan  # ADC sum combines map-side
+    # No join, no re-aggregation: candidates come pre-scored and
+    # chunk-pruned; the only exchange is the top-k window's.
+    assert "Join" not in plan
+
+    # Join twin (oracle path): codes scan + probe scan, probe tables
+    # joined by BROADCAST, per-(probe, item) distance sum combining
+    # map-side.
+    jplan = plan_of(
+        S.pq_adc_topk(
+            emb, probes, books, k=5,
+            codes=spark.read.parquet(codes_path), scan_path="join",
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", jplan)) == 2
+    assert "BroadcastHashJoin" in jplan  # probe tables broadcast
+    assert "partial_sum" in jplan  # ADC sum combines map-side
     # Correctness of the persisted path: identical to the live encode.
     live = S.pq_adc_topk(emb, probes, books, k=5)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, live.collect()))
