@@ -501,6 +501,18 @@ def dedup_against_index(
     base = path.rstrip("/")
     idx_bands = spark.read.parquet(f"{base}/bands")
     idx_grams = spark.read.parquet(f"{base}/grams")
+    # Legacy-layout guard (same compatibility behavior as the ANN
+    # sibling): an index written before the batch_id/pfx partitioning
+    # existed still probes correctly — pruning and replay exclusion just
+    # become no-ops on it. Appends/replays require the partitioned
+    # layout, so demand it when exclusion is requested.
+    legacy = "batch_id" not in idx_bands.columns
+    if exclude_batch_id is not None and legacy:
+        raise ValueError(
+            "dedup_against_index: exclude_batch_id requires the "
+            "batch_id-partitioned layout — rebuild the index with "
+            "write_minhash_index before appending to it"
+        )
     if exclude_batch_id is not None:
         idx_bands = idx_bands.where(F.col("batch_id") != exclude_batch_id)
         idx_grams = idx_grams.where(F.col("batch_id") != exclude_batch_id)
@@ -510,7 +522,8 @@ def dedup_against_index(
         r[0]
         for r in b_bands.select(_hex_pfx(F.col("bucket")).alias("p")).distinct().collect()
     ]
-    idx_bands = idx_bands.where(F.col("pfx").isin(band_pfx or [-1]))
+    if "pfx" in idx_bands.columns:
+        idx_bands = idx_bands.where(F.col("pfx").isin(band_pfx or [-1]))
     cands = (
         b_bands.alias("b")
         .join(
@@ -531,7 +544,8 @@ def dedup_against_index(
         .distinct()
         .collect()
     ]
-    idx_grams = idx_grams.where(F.col("pfx").isin(gram_pfx or [-1]))
+    if "pfx" in idx_grams.columns:
+        idx_grams = idx_grams.where(F.col("pfx").isin(gram_pfx or [-1]))
     n_batch = b_grams.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("_nb")
     )
@@ -539,7 +553,7 @@ def dedup_against_index(
     # corpus-scale aggregate of grams/ at query time (that would break
     # the cost-scales-with-the-batch contract).
     n_idx = spark.read.parquet(f"{base}/counts")
-    if exclude_batch_id is not None:
+    if exclude_batch_id is not None:  # legacy layout raised above
         n_idx = n_idx.where(F.col("batch_id") != exclude_batch_id)
     n_idx = n_idx.select("doc_id", F.col("n_grams").alias("_ni"))
     # Prefilter the corpus-scale gram table with a BROADCAST semi-join on

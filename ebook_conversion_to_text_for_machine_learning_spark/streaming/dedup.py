@@ -57,6 +57,7 @@ def stream_near_dedup(
     text_col: str = "text",
     max_files_per_trigger: int = 16,
     available_now: bool = False,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start a file-source streaming near-dup curation job.
 
@@ -73,6 +74,14 @@ def stream_near_dedup(
     partition — a replayed batch reproduces its original decisions and
     files exactly. Single-writer contract: one stream per index path
     (concurrent writers would collide on index batch ids).
+
+    ``compact_every=N`` runs ``compact_minhash_index`` after every Nth
+    micro-batch, inside ``foreachBatch`` — exactly the between-batches
+    maintenance window compaction requires — bounding the index at ~N
+    batch partitions instead of one per trigger forever. The stream's
+    own checkpoint gates the fold, so the still-uncommitted current
+    batch is always retained with its replay-exclusion partition intact;
+    only committed (never-replayed) batches merge into the base.
     """
     from pyspark.errors import AnalysisException
 
@@ -115,6 +124,14 @@ def stream_near_dedup(
         annotated.write.mode("overwrite").parquet(
             f"{output_dir}/batch_id={batch_id}"
         )
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            from ebook_conversion_to_text_for_machine_learning_spark.operators.index_maintenance import (
+                compact_minhash_index,
+            )
+
+            compact_minhash_index(
+                session, index_path, checkpoint_dir=checkpoint_dir
+            )
 
     writer = source.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -530,3 +530,53 @@ def test_stream_near_dedup_flags_against_everything_landed(spark, tmp_path):
     q3.awaitTermination(180)
     out3 = {r.doc_id: r.dup_of for r in spark.read.parquet(out_dir).collect()}
     assert out3[20] == 12
+
+
+def test_stream_near_dedup_with_compaction_cadence(spark, tmp_path):
+    """``compact_every=1`` folds committed index batches into the base
+    after every trigger: decisions are identical to the uncompacted
+    stream, and the index holds at most the base + the latest
+    (uncommitted-at-fold-time) batch partition instead of one partition
+    per trigger forever."""
+    import os
+
+    from ebook_conversion_to_text_for_machine_learning_spark.streaming.dedup import (
+        stream_near_dedup,
+    )
+
+    schema = "doc_id long, lang string, text string"
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven anxious "
+        "zebras watch from a quiet hill near the river bend tonight"
+    )
+    novel = "a copper lantern hangs alone in the harbor window tonight waiting quietly"
+    fresh = "winter trains cross the long iron bridge carrying grain toward the coast"
+    in_dir, out_dir = tmp_path / "in", str(tmp_path / "out")
+    ckpt, idx = str(tmp_path / "ckpt"), str(tmp_path / "idx")
+
+    batches = [
+        [(1, "en", base), (2, "en", novel)],
+        [
+            (10, "en", base.replace("lazy", "sleepy")),
+            (11, "en", novel.replace("copper", "brass")),
+            (12, "en", fresh),
+        ],
+        [(20, "en", fresh.replace("grain", "coal"))],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).write.parquet(str(in_dir / f"f{i}"))
+        q = stream_near_dedup(
+            spark, f"{in_dir}/*", out_dir, ckpt, idx,
+            schema=schema, available_now=True, compact_every=1,
+        )
+        q.awaitTermination(180)
+
+    out = {r.doc_id: r.dup_of for r in spark.read.parquet(out_dir).collect()}
+    assert out == {1: None, 2: None, 10: 1, 11: 2, 12: None, 20: 12}
+    for table in ("bands", "grams", "counts"):
+        dirs = sorted(
+            d for d in os.listdir(f"{idx}/{table}") if d.startswith("batch_id=")
+        )
+        # base + at most the latest not-yet-committed-at-fold-time batch
+        # (a trailing empty micro-batch may have folded even that one)
+        assert dirs[0] == "batch_id=-1" and len(dirs) <= 2, (table, dirs)
