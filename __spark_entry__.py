@@ -1031,6 +1031,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_against_index"] = dedup_against_index
 
+    def dedup_index_probe(spark, sf_dir):
+        # Probe-only twin of dedup_against_index: identical decisions,
+        # but the per-process index cache means the one-time build is
+        # paid by whichever of the two queries runs first (the bench
+        # orders dedup_against_index first), so THIS entry's bench time
+        # is the recurring O(batch) partition-pruned probe the
+        # batch_id/pfx layout is designed for — the number a streaming
+        # ingest loop pays per trigger — not build + probe fused.
+        docs = read_table(spark, sf_dir, "documents")
+        path = _scratch_index_path("minhash_index", sf_dir)
+        if path not in _minhash_index_cache:
+            D.write_minhash_index(docs.where(F.col("doc_id") % 3 != 0), path)
+            _minhash_index_cache.add(path)
+        batch = docs.where(F.col("doc_id") % 3 == 0)
+        return D.dedup_against_index(spark, batch, path)
+
+    q["dedup_index_probe"] = dedup_index_probe
+
     def simhash_signatures(spark, sf_dir):
         return D.simhash_signatures(read_table(spark, sf_dir, "documents"))
 
@@ -2351,6 +2369,10 @@ verified AS (
   JOIN grams_t gb ON gb.doc_id = c.doc_id
   JOIN grams_t gi ON gi.doc_id = c.dup_of)
 SELECT * FROM verified WHERE 2 * n_common >= n_union AND n_union > 0"""
+
+    # Probe-only bench twin — same batch, same index contents, same
+    # decisions by construction, so the oracle is the same recomputation.
+    o["dedup_index_probe"] = o["dedup_against_index"]
 
     o["ngram_jaccard"] = f"""
 WITH t AS (SELECT doc_id, lang, list_distinct({tokens}) AS grams FROM documents)

@@ -72,6 +72,7 @@ def main() -> None:
         "minhash_verified_dedup",
         "source_dedup_matrix",
         "dedup_against_index",
+        "dedup_index_probe",
         "simhash_signatures",
         "simhash_near_pairs",
         "dedup_components",

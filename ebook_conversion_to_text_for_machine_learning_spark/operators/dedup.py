@@ -154,6 +154,47 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def minhash_verified_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH candidates + exact-Jaccard verification within ONE frame.
+
+    The self-join twin of ``dedup_against_index``'s batch-vs-index
+    verify: identical hash family (``minhash_bands``), identical gram
+    definition (``gram_hashes`` — distinct 3-shingle md5s, so the
+    match count IS the intersection size) and identical acceptance
+    rule (``2 * n_common >= n_union``, J ≥ 0.5). Band-bucket join
+    generates candidates; only candidates pay the gram join — the
+    standard sub-quadratic shape, O(frame) for a micro-batch.
+
+    Returns (doc_a, doc_b, n_common, n_union) with ``doc_a < doc_b``.
+    """
+    cands = minhash_candidate_pairs(df, text_col)
+    grams = gram_hashes(df, text_col)
+    counts = grams.groupBy("doc_id").agg(F.count("*").cast("long").alias("_n"))
+    common = (
+        cands.join(grams.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(grams.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "gram_hash"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        common.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("_na") + F.col("_nb") - F.col("n_common")).alias("n_union"),
+        )
+        .where(F.lit(2) * F.col("n_common") >= F.col("n_union"))
+    )
+
+
 def size_bucket_keys(n_grams: Column, threshold: float) -> Column:
     """(skey, guest) structs implementing EXACT size-bucketed blocking.
 
@@ -212,6 +253,13 @@ def ngram_jaccard_pairs(
     block-only join (tiny-block verifier use). For corpus-wide near-dup
     detection ``minhash_candidate_pairs`` + exact-Jaccard verify
     (``minhash_verified_dedup``) remains the sub-quadratic path.
+
+    Empty-document semantics (behavior change vs pre-ANSI builds): two
+    docs whose gram sets are BOTH empty are defined as identical —
+    J(∅, ∅) := 1.0 — and the pair IS emitted. The old non-ANSI 0/0
+    division yielded NULL and silently dropped such pairs; callers
+    feeding empty/whitespace-only docs who relied on that drop should
+    filter ``n_grams > 0`` upstream.
     """
     sh = F.array_distinct(shingles_col(F.col(text_col), n)) if n > 1 else F.array_distinct(
         tokens_col(F.col(text_col))
@@ -584,6 +632,23 @@ def dedup_against_index(
     )
 
 
+def intra_batch_dups(batch: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_of) for docs near-duplicating a SMALLER-id doc in the
+    same frame — the greedy keeper rule ``ingest_batch_against_index``
+    applies before probing the index: per verified pair (doc_a < doc_b),
+    doc_b duplicates its best doc_a match (max n_common, min doc_a
+    tie-break); docs with no smaller-id match are the batch's keepers."""
+    pairs = minhash_verified_pairs(batch, text_col=text_col)
+    return (
+        pairs.groupBy("doc_b")
+        .agg(F.min(F.struct(-F.col("n_common"), F.col("doc_a"))).alias("_b"))
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("_b.doc_a").alias("dup_of"),
+        )
+    )
+
+
 def ingest_batch_against_index(
     spark,
     batch: DataFrame,
@@ -591,6 +656,7 @@ def ingest_batch_against_index(
     *,
     batch_id: int,
     text_col: str = "text",
+    intra_batch: bool = True,
 ) -> DataFrame:
     """One incremental-ingest step: dedup a batch, then GROW the index.
 
@@ -601,25 +667,47 @@ def ingest_batch_against_index(
     without ever re-signaturing the landed corpus. Per-call cost is
     O(batch) + the pruned index probe; the corpus is never rewritten.
 
+    ``intra_batch=True`` (default) first runs the same verified-pairs
+    rule WITHIN the batch (``minhash_verified_pairs``): two near-dup
+    docs arriving in the same batch no longer both land as "novel" —
+    the greedy smaller-id keeper survives (per pair, ``doc_b`` is
+    flagged as ``dup_of`` its best ``doc_a`` match: max n_common, min
+    doc_a tie-break) and only keepers probe and enter the index.
+    Chain caveat: in a near-dup chain a → b → c where (a, c) is not
+    itself a verified pair, c's ``dup_of`` points at b, which was also
+    dropped (its own dup_of is a) — ``dup_of`` names the matched
+    document, not the cluster representative; run ``dedup_components``
+    over the pair set when canonical cluster ids are needed.
+
     At-least-once safe: the dedup pass excludes ``batch_id``'s own
     partitions (a replay after a half-completed append would otherwise
     see its own docs in the index, flag them as self-dups, and drop
     them), and the append overwrites only this batch's partitions.
-    The dup decisions are materialized (localCheckpoint) BEFORE the
-    append, because appending mutates tables the decision plan scans.
+    Intra-batch decisions are deterministic recomputations of the same
+    batch, so a replay reproduces them exactly. The dup decisions are
+    materialized (localCheckpoint) BEFORE the append, because appending
+    mutates tables the decision plan scans.
 
     Returns the batch annotated with ``dup_of`` (null ⇒ novel, and the
     doc is now indexed) — the best-match keeper (max n_common, min
     doc_id tie-break) when duplicated.
     """
+    if intra_batch:
+        intra = intra_batch_dups(batch, text_col=text_col).localCheckpoint()
+        keepers = batch.join(intra, "doc_id", "left_anti")
+    else:
+        intra = None
+        keepers = batch
     dups = dedup_against_index(
-        spark, batch, path, text_col=text_col, exclude_batch_id=batch_id
+        spark, keepers, path, text_col=text_col, exclude_batch_id=batch_id
     ).localCheckpoint()
     best = (
         dups.groupBy("doc_id")
         .agg(F.min(F.struct(-F.col("n_common"), F.col("dup_of"))).alias("_b"))
         .select("doc_id", F.col("_b.dup_of").alias("dup_of"))
     )
+    if intra is not None:
+        best = best.unionByName(intra)
     annotated = batch.join(best, "doc_id", "left").localCheckpoint()
     novel = annotated.where(F.col("dup_of").isNull()).drop("dup_of")
     append_to_minhash_index(novel, path, batch_id=batch_id, text_col=text_col)

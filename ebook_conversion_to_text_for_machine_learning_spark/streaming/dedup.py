@@ -19,8 +19,11 @@ Engine extensions (the reference is batch-only):
   (dedup against the persisted minhash index, then grow the index by
   the batch's novelties — O(batch) per step, corpus never re-read), so
   a document near-duplicating ANYTHING the stream has ever landed is
-  flagged, with no watermark horizon and state bounded by the on-disk
-  index instead of executor memory.
+  flagged — including same-trigger arrivals, which the ingest step's
+  intra-batch pass (``minhash_verified_pairs`` within the micro-batch,
+  greedy smaller-id keeper) resolves before probing the index — with
+  no watermark horizon and state bounded by the on-disk index instead
+  of executor memory.
 """
 
 from __future__ import annotations
@@ -88,6 +91,7 @@ def stream_near_dedup(
     from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
         append_to_minhash_index,
         ingest_batch_against_index,
+        intra_batch_dups,
     )
 
     source = (
@@ -113,13 +117,14 @@ def stream_near_dedup(
                 and "UNABLE_TO_INFER_SCHEMA" not in str(ex)
             ):
                 raise
-            id_type = batch_df.schema["doc_id"].dataType
-            annotated = batch_df.withColumn(
-                "dup_of", F.lit(None).cast(id_type)
-            ).localCheckpoint()
+            # The bootstrap batch still intra-batch dedups: two near-dup
+            # docs in the stream's very first trigger must not both land
+            # as novel (same rule the ingest step applies every trigger).
+            intra = intra_batch_dups(batch_df, text_col=text_col)
+            annotated = batch_df.join(intra, "doc_id", "left").localCheckpoint()
             append_to_minhash_index(
-                annotated.drop("dup_of"), index_path,
-                batch_id=idx_batch, text_col=text_col,
+                annotated.where(F.col("dup_of").isNull()).drop("dup_of"),
+                index_path, batch_id=idx_batch, text_col=text_col,
             )
         annotated.write.mode("overwrite").parquet(
             f"{output_dir}/batch_id={batch_id}"

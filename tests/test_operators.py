@@ -203,6 +203,81 @@ def test_ingest_batch_against_index_loop(spark, tmp_path):
     assert out2r == out2
 
 
+def test_ingest_batch_intra_batch_near_dups(spark, tmp_path):
+    """Two near-dup docs arriving in the SAME batch: the smaller-id
+    keeper survives and is indexed; the other is flagged against it and
+    never enters the index (advice r4 #1). ``intra_batch=False`` keeps
+    the old probe-only behavior (both land as novel)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        dedup_against_index,
+        ingest_batch_against_index,
+        write_minhash_index,
+    )
+
+    far = "completely different words compose this other document about ships at sea"
+    novel = "a copper lantern hangs alone in the harbor window tonight waiting quietly"
+    path = str(tmp_path / "idx")
+    write_minhash_index(_docs_df(spark, [(1, "en", far)]), path)
+
+    batch = _docs_df(
+        spark,
+        [
+            (10, "en", BASE),
+            (11, "en", BASE.replace("lazy", "sleepy")),  # intra dup of 10
+            (12, "en", novel),
+            (13, "en", far.replace("ships", "boats")),  # dup of indexed 1
+        ],
+    )
+    out = {
+        r.doc_id: r.dup_of
+        for r in ingest_batch_against_index(spark, batch, path, batch_id=1).collect()
+    }
+    assert out == {10: None, 11: 10, 12: None, 13: 1}
+
+    # only the keepers joined the index: a later probe near-duplicating
+    # the intra-dropped doc matches the KEEPER, and 11 itself is absent
+    probe = _docs_df(spark, [(20, "en", BASE.replace("lazy", "idle"))])
+    hits = {(r.doc_id, r.dup_of) for r in dedup_against_index(spark, probe, path).collect()}
+    assert hits == {(20, 10)}
+
+    # legacy switch: both intra dups land as novel
+    path2 = str(tmp_path / "idx2")
+    write_minhash_index(_docs_df(spark, [(1, "en", far)]), path2)
+    out2 = {
+        r.doc_id: r.dup_of
+        for r in ingest_batch_against_index(
+            spark, batch, path2, batch_id=1, intra_batch=False
+        ).collect()
+    }
+    assert out2 == {10: None, 11: None, 12: None, 13: 1}
+
+
+def test_minhash_verified_pairs_matches_driver_rule(spark):
+    """The operator-level verified-pairs must agree with the inline
+    array_intersect formulation the driver query uses (distinct-gram
+    counts make match-count == intersection size)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.dedup import (
+        minhash_verified_pairs,
+    )
+
+    docs = _docs_df(
+        spark,
+        [
+            (1, "en", BASE),
+            (2, "en", BASE.replace("lazy", "sleepy")),
+            (3, "en", BASE.replace("quick", "swift").replace("lazy", "sleepy")),
+            (4, "en", "altogether unrelated content speaking of mountains and snow"),
+        ],
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_union)
+        for r in minhash_verified_pairs(docs).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    for (a, b), (nc, nu) in got.items():
+        assert 2 * nc >= nu > 0
+
+
 def test_tfidf_top_terms_ranks_rare_over_common(spark):
     """The discriminative term must outrank the ubiquitous one: 'zebra'
     (tf=2, df=1 → 2·(ln(2)+1) ≈ 3.39) beats 'the' (tf=3, df=3 → idf

@@ -532,6 +532,52 @@ def test_stream_near_dedup_flags_against_everything_landed(spark, tmp_path):
     assert out3[20] == 12
 
 
+def test_stream_near_dedup_intra_trigger_dups(spark, tmp_path):
+    """Near-dup docs arriving in the SAME trigger — including the
+    bootstrap trigger against a virgin index path — are resolved by the
+    intra-batch pass: the smaller-id keeper lands as novel, the other is
+    flagged against it, and only the keeper joins the index (advice r4)."""
+    from ebook_conversion_to_text_for_machine_learning_spark.streaming.dedup import (
+        stream_near_dedup,
+    )
+
+    schema = "doc_id long, lang string, text string"
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven anxious "
+        "zebras watch from a quiet hill near the river bend tonight"
+    )
+    in_dir, out_dir = tmp_path / "in", str(tmp_path / "out")
+
+    # bootstrap trigger: virgin index, intra-trigger near-dup pair (1, 2)
+    spark.createDataFrame(
+        [(1, "en", base), (2, "en", base.replace("lazy", "sleepy"))], schema
+    ).write.parquet(str(in_dir / "f0"))
+    q = stream_near_dedup(
+        spark, f"{in_dir}/*", out_dir, str(tmp_path / "ckpt"), str(tmp_path / "idx"),
+        schema=schema, available_now=True,
+    )
+    q.awaitTermination(180)
+
+    # second trigger: a near-dup of the DROPPED doc 2 must match the
+    # keeper 1 (2 never entered the index), plus an intra-trigger pair
+    spark.createDataFrame(
+        [
+            (10, "en", base.replace("lazy", "idle")),
+            (11, "en", "a copper lantern hangs alone in the harbor window tonight waiting quietly"),
+            (12, "en", "a brass lantern hangs alone in the harbor window tonight waiting quietly"),
+        ],
+        schema,
+    ).write.parquet(str(in_dir / "f1"))
+    q2 = stream_near_dedup(
+        spark, f"{in_dir}/*", out_dir, str(tmp_path / "ckpt"), str(tmp_path / "idx"),
+        schema=schema, available_now=True,
+    )
+    q2.awaitTermination(180)
+
+    out = {r.doc_id: r.dup_of for r in spark.read.parquet(out_dir).collect()}
+    assert out == {1: None, 2: 1, 10: 1, 11: None, 12: 11}
+
+
 def test_stream_near_dedup_with_compaction_cadence(spark, tmp_path):
     """``compact_every=1`` folds committed index batches into the base
     after every trigger: decisions are identical to the uncompacted
