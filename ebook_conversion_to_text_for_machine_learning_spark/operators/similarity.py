@@ -483,6 +483,39 @@ def ivf_probe_cells_arrow(
     )
 
 
+def _probe_cell_assign(rows, centroids, nprobe: int):
+    """(P, min(nprobe, cells)) cell-id matrix for pre-collected
+    ``(id, vec)`` rows, aligned to the rows' order — the driver-side
+    twin of ``ivf_probe_cells_arrow``'s per-batch math through the
+    identical helpers (``_unit_rows`` @ ``_centroid_matrix``,
+    round(·,4), stable argsort → min-id tie-break): bit-identical
+    assignments."""
+    import numpy as np
+
+    ids, mat = _centroid_matrix(centroids)
+    n_take = min(nprobe, len(ids))
+    cos = np.round(_unit_rows([r[1] for r in rows]) @ mat.T, 4)
+    top = np.argsort(-cos, axis=1, kind="stable")[:, :n_take]
+    return ids[top]
+
+
+def _probe_cells_local(spark, rows, centroids, *, nprobe: int, id_type: str):
+    """Driver-side twin of ``ivf_probe_cells_arrow`` over pre-collected
+    ``(id, vec)`` rows (``_probe_cell_assign`` math — bit-identical).
+    Exists purely to delete a fixed per-pass Spark job when the caller
+    has already collected the probe batch for the ADC LUT
+    (``ivfpq_topk`` — the probe batch is driver-bounded by design
+    there). Emits (probe_id, probe_cell), ``nprobe`` rows per probe."""
+    schema = f"probe_id {id_type}, probe_cell long"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    cells = _probe_cell_assign(rows, centroids, nprobe)
+    data = [
+        (r[0], int(c)) for r, row_cells in zip(rows, cells) for c in row_cells
+    ]
+    return spark.createDataFrame(data, schema)
+
+
 def ivf_kmeans_centroids(
     corpus: DataFrame,
     *,
@@ -1491,6 +1524,48 @@ def _codebook_tensor(codebooks: list):
     )
 
 
+def _adc_lut(rows, cb):
+    """(sorted probe ids, probes × m × k int64 LUT) for the Arrow ADC
+    kernels, from collected ``(id, vec)`` rows and a ``_codebook_tensor``.
+
+    Quantization is the per-dimension ``_pq_qdist`` exact-integer rule
+    (floor(d²·10⁴ + 0.5) per dimension, int64 sum), identical in both
+    kernels and the SQL oracle. Built CHUNKED with in-place ufuncs: the
+    one-shot ``(P, m, k, d0)`` broadcast formulation allocated ~800 MB
+    of temporaries and cost 2.5-3.5 s of serial DRIVER time per pass at
+    1024 probes (measured; the single largest fixed cost in the r4 ANN
+    scaling series) — 64-probe chunks keep temporaries cache-resident
+    at ~0.12 s, bit-identical output."""
+    import numpy as np
+
+    m, k, d0 = cb.shape
+    probe_ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    order = np.argsort(probe_ids)
+    probe_ids = probe_ids[order]
+    x = np.stack(
+        [np.asarray(rows[i][1], dtype=np.float64) for i in order]
+    ).reshape(len(rows), m, 1, d0)
+    lut = np.empty((len(rows), m, k), dtype=np.int64)
+    for s in range(0, len(rows), 64):
+        d = x[s : s + 64] - cb[None, :, :, :]
+        np.multiply(d, d, out=d)
+        d *= 10000.0
+        d += 0.5
+        np.floor(d, out=d)
+        lut[s : s + 64] = d.astype(np.int64).sum(-1)
+    if lut.size and 0 <= lut.min() and lut.max() <= np.iinfo(np.int32).max:
+        # Same values, half the bytes: the int32 table keeps the
+        # 1024-probe LUT LLC-resident where the int64 one spilled to
+        # DRAM — measured 2→8-process gather scaling 0.67 (int64) vs
+        # 0.99 (int32) on this VM, +38% absolute at 8 workers. The
+        # kernels accumulate in int64 (explicit sum dtype / int64
+        # accumulator array), so scores are bit-identical; values that
+        # genuinely exceed int32 (pathological unnormalized vectors)
+        # keep the int64 table.
+        lut = lut.astype(np.int32)
+    return probe_ids, lut
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list,
@@ -1654,14 +1729,7 @@ def pq_adc_scan_arrow(
     cb = _codebook_tensor(codebooks)  # (m, k, d0)
     m, k, d0 = cb.shape
     rows = probes.select(id_col, vec_col).collect()
-    probe_ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
-    order = np.argsort(probe_ids)
-    probe_ids = probe_ids[order]
-    x = np.stack(
-        [np.asarray(rows[i][1], dtype=np.float64) for i in order]
-    ).reshape(len(rows), m, 1, d0)
-    diff = x - cb[None, :, :, :]
-    lut = np.floor(diff * diff * 10000.0 + 0.5).astype(np.int64).sum(-1)
+    probe_ids, lut = _adc_lut(rows, cb)
     bc = codes.sparkSession.sparkContext.broadcast((probe_ids, lut))
     sentinel = np.iinfo(np.int64).max
     r = int(per_probe_r)
@@ -1741,6 +1809,7 @@ def pq_adc_scores_arrow(
     prune_per_batch: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_rows: list | None = None,
 ) -> DataFrame:
     """Production-rate ADC scoring: one numpy LUT *gather* per Arrow
     batch over (probe_id, item_id, codes) candidate rows — the memory
@@ -1769,7 +1838,16 @@ def pq_adc_scores_arrow(
 
     Probe vectors are collected to the driver to build the LUT — the
     same data volume the join path ships through its broadcast, bounded
-    by the probe batch by design.
+    by the probe batch by design. A caller that already holds the
+    collected ``(id, vec)`` rows passes them via ``probe_rows`` to skip
+    the second collect job — one of the measured fixed per-pass costs
+    in the r4 ANN scaling series.
+
+    Standalone kernel for callers with their OWN candidate generation
+    (pre-paired rows). ``ivfpq_topk`` itself no longer pairs candidates
+    as Spark rows — it defaults to the inverted-list
+    ``pq_adc_cell_scan_arrow``, which moves the pairing inside the
+    kernel and cuts the Arrow channel ~100× (measured rationale there).
 
     Returns (probe_id, item_id, adc_x10k).
     """
@@ -1781,15 +1859,12 @@ def pq_adc_scores_arrow(
     _require_integral_id(probes, id_col, "pq_adc_scores_arrow")
     cb = _codebook_tensor(codebooks)  # (m, k, d0)
     m, k, d0 = cb.shape
-    rows = probes.select(id_col, vec_col).collect()
-    probe_ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
-    order = np.argsort(probe_ids)
-    probe_ids = probe_ids[order]
-    x = np.stack(
-        [np.asarray(rows[i][1], dtype=np.float64) for i in order]
-    ).reshape(len(rows), m, 1, d0)
-    diff = x - cb[None, :, :, :]
-    lut = np.floor(diff * diff * 10000.0 + 0.5).astype(np.int64).sum(-1)
+    rows = (
+        probe_rows
+        if probe_rows is not None
+        else probes.select(id_col, vec_col).collect()
+    )
+    probe_ids, lut = _adc_lut(rows, cb)
     bc = cands_with_codes.sparkSession.sparkContext.broadcast((probe_ids, lut))
     sub = np.arange(m, dtype=np.int64)
 
@@ -1805,7 +1880,11 @@ def pq_adc_scores_arrow(
         codes_mat = np.stack(
             [np.asarray(c, dtype=np.int64) for c in chunk["codes"]]
         )
-        q = table[pidx[:, None], sub[None, :], codes_mat].sum(axis=1)
+        # int64 accumulation regardless of the LUT's storage dtype
+        # (int32 when values fit — see _adc_lut): identical scores.
+        q = table[pidx[:, None], sub[None, :], codes_mat].sum(
+            axis=1, dtype=np.int64
+        )
         out = pd.DataFrame(
             {
                 "probe_id": chunk["probe_id"].to_numpy(),
@@ -1849,6 +1928,163 @@ def pq_adc_scores_arrow(
     return cands_with_codes.select("probe_id", "item_id", "codes").mapInPandas(
         batches,
         schema=f"probe_id {p_type}, item_id {id_type}, adc_x10k long",
+    )
+
+
+def pq_adc_cell_scan_arrow(
+    codes_with_cells: DataFrame,
+    probes: DataFrame,
+    centroids: list,
+    codebooks: list,
+    *,
+    nprobe: int,
+    per_probe_r: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_rows: list | None = None,
+) -> DataFrame:
+    """IVFADC scoring the way inverted-list engines actually run it:
+    each corpus code row ships ONCE with its ``cell_id``, and the kernel
+    expands it against the probes probing that cell in numpy — the
+    (probe × candidate) pairing never exists as Spark rows.
+
+    Why it replaces the pre-paired formulation in ``ivfpq_topk``
+    (measured, 131k-vector scaling corpus, 1024 probes, nprobe 8/64):
+    generating candidates as a JVM join emitted |candidates| =
+    |corpus| × probes-per-cell ≈ 16.7M rows and shipped them through
+    the JVM→Python Arrow channel (~1.5 GB/pass with the code arrays) —
+    the per-pass cost the ANN scaling series kept paying after every
+    driver-side fixed cost was removed. This kernel's input is the
+    corpus-size (item, cell, codes) frame (~131k rows, ~15 MB), its
+    broadcast is the LUT + a cell→probe-positions map, and its output
+    is pruned to ≲ probes × R per accumulated chunk, so Arrow traffic
+    drops ~100× while the gather count (the actual ADC math) is
+    unchanged.
+
+    Exactness: quantization is the ``_pq_qdist`` integer rule via the
+    shared ``_adc_lut``; probe→cell assignment is the bit-identical
+    ``_probe_cell_assign``; self-matches mask to a sentinel exactly as
+    ``pq_adc_scan_arrow``. Per (cell, chunk) block the kernel keeps,
+    per probe, every pair whose score ties-or-beats the block's R-th
+    smallest — a SUPERSET of the block's (adc ASC, item ASC) top-R, and
+    each (probe, item) pair exists in exactly one block, so the union
+    provably contains the global per-probe top-R and the downstream
+    ``row_number`` shortlist is EXACTLY the join path's (path-agreement
+    pinned by test).
+
+    Returns (probe_id, item_id, adc_x10k) candidate rows.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    _require_integral_id(probes, id_col, "pq_adc_cell_scan_arrow")
+    _require_integral_id(codes_with_cells, "item_id", "pq_adc_cell_scan_arrow")
+    cb = _codebook_tensor(codebooks)
+    m, k, d0 = cb.shape
+    rows = (
+        probe_rows
+        if probe_rows is not None
+        else probes.select(id_col, vec_col).collect()
+    )
+    pids, lut = _adc_lut(rows, cb)
+    order = np.argsort(
+        np.array([int(r[0]) for r in rows], dtype=np.int64)
+    )
+    assign = _probe_cell_assign([rows[i] for i in order], centroids, nprobe)
+    cell_map: dict = {}
+    for pos, row_cells in enumerate(assign):
+        for c in row_cells:
+            cell_map.setdefault(int(c), []).append(pos)
+    cell_map = {
+        c: np.array(v, dtype=np.int64) for c, v in cell_map.items()
+    }
+    bc = codes_with_cells.sparkSession.sparkContext.broadcast(
+        (pids, lut, cell_map)
+    )
+    sentinel = np.iinfo(np.int64).max
+    r = int(per_probe_r)
+
+    def score(chunk: pd.DataFrame) -> pd.DataFrame:
+        spids, table, cmap = bc.value
+        items = chunk["item_id"].to_numpy(dtype=np.int64)
+        cellids = chunk["cell_id"].to_numpy(dtype=np.int64)
+        codes_mat = np.stack(
+            [np.asarray(c, dtype=np.int64) for c in chunk["codes"]]
+        )
+        grp_order = np.argsort(cellids, kind="stable")
+        bounds = np.flatnonzero(np.diff(cellids[grp_order])) + 1
+        out_p: list = []
+        out_i: list = []
+        out_q: list = []
+        for grp in np.split(grp_order, bounds):
+            ppos = cmap.get(int(cellids[grp[0]]))
+            if ppos is None:
+                continue  # cell probed by nobody in this batch
+            it = items[grp]
+            cm = codes_mat[grp]  # (n_c, m)
+            lut_c = table[ppos]  # (B, m, k)
+            scores = np.zeros((len(ppos), len(grp)), dtype=np.int64)
+            for s in range(m):
+                scores += lut_c[:, s, :][:, cm[:, s]]
+            scores[spids[ppos][:, None] == it[None, :]] = sentinel
+            if len(grp) > r:
+                kth = np.partition(scores, r - 1, axis=1)[:, r - 1 : r]
+                mask = scores <= kth  # ties at the boundary stay in
+            else:
+                mask = np.ones_like(scores, dtype=bool)
+            mask &= scores != sentinel
+            pj, ij = np.nonzero(mask)
+            out_p.append(spids[ppos[pj]])
+            out_i.append(it[ij])
+            out_q.append(scores[pj, ij])
+        empty = np.array([], dtype=np.int64)
+        if not out_p:
+            return pd.DataFrame(
+                {"probe_id": empty, "item_id": empty, "adc_x10k": empty}
+            )
+        p = np.concatenate(out_p)
+        i = np.concatenate(out_i)
+        q = np.concatenate(out_q)
+        # Second-level prune: exact top-R per probe ACROSS the chunk's
+        # cell blocks by the global (adc ASC, item ASC) order — same
+        # subset-preservation argument one level up. Without it a probe
+        # touching many (cell × chunk) blocks emits R rows per block
+        # (measured 3.3M rows into the downstream row_number shuffle at
+        # x256; ≤ probes × R per chunk after).
+        order = np.lexsort((i, q, p))
+        p, i, q = p[order], i[order], q[order]
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        sizes = np.diff(np.r_[starts, len(p)])
+        ranks = np.arange(len(p)) - np.repeat(starts, sizes)
+        keep = ranks < r
+        return pd.DataFrame(
+            {"probe_id": p[keep], "item_id": i[keep], "adc_x10k": q[keep]}
+        )
+
+    # Same batch-accumulation rationale as the sibling kernels.
+    _TARGET = 65536
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list = []
+        n = 0
+        for batch in it:
+            if not len(batch):
+                continue
+            buf.append(batch)
+            n += len(batch)
+            if n >= _TARGET:
+                yield score(pd.concat(buf, ignore_index=True))
+                buf, n = [], 0
+        if buf:
+            yield score(pd.concat(buf, ignore_index=True))
+
+    p_type = dict(probes.dtypes)[id_col]
+    i_type = dict(codes_with_cells.dtypes)["item_id"]
+    return codes_with_cells.select("item_id", "cell_id", "codes").mapInPandas(
+        batches,
+        schema=f"probe_id {p_type}, item_id {i_type}, adc_x10k long",
     )
 
 
@@ -2017,25 +2253,26 @@ def _exact_rerank(
     id_col: str,
 ) -> DataFrame:
     """Exact cosine re-rank of a (probe_id, item_id) shortlist: candidate
-    vectors fetched with a broadcast semi-join (the raw-vector table is
+    vectors fetched with ONE broadcast join (the raw-vector table is
     scanned column-pruned, never shuffled, never crossed with the probe
-    set), ranked (round(cos,4) DESC, item_id ASC). Shared by every
-    PQ-backed search (``pq_adc_rerank_topk``, ``ivfpq_topk``).
+    set — corpus rows without a shortlist entry drop at the join, so
+    the scoring broadcast IS the candidate filter), ranked
+    (round(cos,4) DESC, item_id ASC). Shared by every PQ-backed search
+    (``pq_adc_rerank_topk``, ``ivfpq_topk``).
 
-    The shortlist is MATERIALIZED first: it feeds two different
-    broadcast subtrees (the semi-join prefilter and the scoring join),
-    which are not canonically equal, so ReuseExchange cannot
-    deduplicate them — without the checkpoint the entire upstream ADC
-    explode-join-aggregate computed TWICE per query (measured 16s of a
-    44s ivfpq pass on the scaling corpus). The shortlist itself is tiny
-    (probes × R rows), so pinning it costs one small job.
+    Single-subtree shape, deliberately: the shortlist appears EXACTLY
+    once in the plan. A previous formulation prefiltered with a
+    broadcast semi-join on ``sl.select("item_id").distinct()`` and then
+    joined ``broadcast(sl)`` again for scoring — two non-canonically-
+    equal subtrees ReuseExchange cannot deduplicate, so the entire
+    upstream ADC subtree computed TWICE per query (measured 16s of a
+    44s ivfpq pass on the scaling corpus), patched with a
+    ``localCheckpoint`` barrier that itself cost a fixed serial job
+    per pass (part of the r4 scaling series' ~6s fixed cost). One
+    subtree needs neither the barrier nor the dedup.
     """
     from pyspark.sql.window import Window
 
-    sl = sl.localCheckpoint()
-    cand_vecs = corpus.select(
-        F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec")
-    ).join(F.broadcast(sl.select("item_id").distinct()), "item_id", "left_semi")
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
@@ -2045,7 +2282,10 @@ def _exact_rerank(
         4,
     )
     scored = (
-        cand_vecs.join(F.broadcast(sl), "item_id")
+        corpus.select(
+            F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec")
+        )
+        .join(F.broadcast(sl), "item_id")
         .join(F.broadcast(p), "probe_id")
         .select("probe_id", "item_id", cosine.alias("cosine"))
     )
@@ -2170,12 +2410,15 @@ def ivfpq_topk(
     al.): IVF cells prune WHICH vectors to score, PQ codes decide HOW
     CHEAPLY to score them, exact re-rank restores ordering fidelity.
 
-    ``adc_path="arrow"`` (production default) scores candidates with the
-    LUT-gather kernel ``pq_adc_scores_arrow`` including per-batch
-    partial top-R pruning; ``"join"`` is the JVM-join twin (explode ×m +
-    broadcast probe tables + hash re-aggregate) whose plan the SQL
-    oracle mirrors — exact-integer quantization makes the two paths
-    agree bit-for-bit (path-agreement test).
+    ``adc_path="arrow"`` (production default) runs the inverted-list
+    scan ``pq_adc_cell_scan_arrow``: each code row ships once with its
+    cell id and the kernel expands it against that cell's probes in
+    numpy with per-block top-R pruning — the candidate pairing never
+    exists as Spark rows; ``"join"`` is the JVM-join twin (broadcast
+    probe→cell candidate join, explode ×m + broadcast probe tables +
+    hash re-aggregate) whose plan the SQL oracle mirrors —
+    exact-integer quantization makes the two paths agree bit-for-bit
+    (path-agreement test).
 
     Cost model at lake scale: the ADC sum touches only vectors in the
     ``nprobe`` probed cells (≈ nprobe/cells of the corpus) and reads m
@@ -2201,25 +2444,44 @@ def ivfpq_topk(
         cells = ivf_assign_arrow(corpus, centroids, vec_col=vec_col, id_col=id_col)
     if codes is None:
         codes = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
-    probe_cells = ivf_probe_cells_arrow(
-        probes, centroids, nprobe=nprobe, vec_col=vec_col, id_col=id_col
-    ).select("probe_id", "probe_cell")
-    cand = (
-        cells.join(
-            F.broadcast(probe_cells), cells.cell_id == probe_cells.probe_cell
-        )
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", F.col("vec_id").alias("item_id"))
-    )
-    cwc = cand.join(
-        codes.select(F.col("vec_id").alias("item_id"), "codes"), "item_id"
-    )
+    # One driver-side collect of the probe batch (bounded by design —
+    # the ADC LUT needs it on the driver regardless) feeds the
+    # probe→cell assignment and the LUT build, replacing two of the
+    # measured fixed per-pass jobs from the r4 ANN scaling series (the
+    # probe-side Arrow stage and the ADC kernel's own collect) with
+    # one. Assignment math is bit-identical to ``ivf_probe_cells_arrow``
+    # (same helpers, same rounding/tie-break).
+    spark = probes.sparkSession
+    probe_rows = probes.select(id_col, vec_col).collect()
     if adc_path == "arrow":
-        adc = pq_adc_scores_arrow(
-            cwc, probes, codebooks,
-            prune_per_batch=r, vec_col=vec_col, id_col=id_col,
+        # Inverted-list scan: the (probe × candidate) pairing happens
+        # inside the kernel, never as Spark rows — see
+        # pq_adc_cell_scan_arrow for the measured reasons.
+        cwc = codes.select(F.col("vec_id").alias("item_id"), "codes").join(
+            cells.select(F.col("vec_id").alias("item_id"), "cell_id"),
+            "item_id",
+        )
+        adc = pq_adc_cell_scan_arrow(
+            cwc, probes, centroids, codebooks,
+            nprobe=nprobe, per_probe_r=r,
+            vec_col=vec_col, id_col=id_col, probe_rows=probe_rows,
         )
     else:
+        probe_cells = _probe_cells_local(
+            spark, probe_rows, centroids,
+            nprobe=nprobe, id_type=dict(probes.dtypes)[id_col],
+        )
+        cand = (
+            cells.join(
+                F.broadcast(probe_cells),
+                cells.cell_id == probe_cells.probe_cell,
+            )
+            .where(F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", F.col("vec_id").alias("item_id"))
+        )
+        cwc = cand.join(
+            codes.select(F.col("vec_id").alias("item_id"), "codes"), "item_id"
+        )
         m = len(codebooks)
         cand_codes = cwc.select(
             "probe_id", "item_id", F.posexplode("codes").alias("subspace", "code")

@@ -51,9 +51,13 @@ Identity-H/V composite fonts WITHOUT a ToUnicode CMap decode their
 /CIDSystemInfo marks the Adobe-Identity-UCS convention (Ordering
 ``UCS``/``UCS2``) the CID is the Unicode code point and text round-trips;
 any other ordering yields one U+FFFD per CID — count- and
-structure-preserving, explicitly lossy. Not handled (use the pdfminer
-path for these): non-Identity predefined CJK CMaps (the glyph mapping
-lives in large charset tables / the font program) and glyph
+structure-preserving, explicitly lossy. Non-Identity predefined CJK
+CMaps (GB-EUC, 90ms-RKSJ, B5pc, KSC-EUC, the Uni*-UCS2/UTF16 families,
+…) decode via ``_predefined_cmap_decoder``: their code spaces are
+national text encodings or UTF-16 itself, so stdlib codecs recover the
+text without pdfminer's tabular cmap files (the table documents the
+approximation boundary). Not handled: Identity-H fonts of unknown
+ordering (the glyph mapping lives in the font program) and glyph
 repositioning via ``Tm`` with rotation.
 """
 
@@ -1259,6 +1263,69 @@ def _cmap_decoder(data: bytes):
     return decode
 
 
+#: Predefined CJK CMap base name (the /Encoding name minus its -H/-V
+#: writing-mode suffix) → stdlib codec for the CODE bytes. For TEXT
+#: extraction the code→CID→glyph chain collapses: each of these CMaps'
+#: code space IS a national text encoding (EUC-CN/GBK/GB18030, Big5,
+#: Shift-JIS/EUC-JP, EUC-KR/UHC) or UCS-2/UTF-16 itself, so decoding
+#: the raw show-string bytes with the matching codec yields the text
+#: pdfminer recovers through its tabular cmap files — exact wherever
+#: Unicode round-trips the national standard (the overwhelmingly common
+#: case); the Apple-variant (*pc/*pv) glyph deviations are approximated
+#: by the national codec. Names are from the PDF 32000-1:2008 §9.7.5.2
+#: predefined-CMap table (public spec).
+_PREDEFINED_CMAP_CODECS = {
+    # Adobe-GB1 (Simplified Chinese)
+    "GB-EUC": "gb2312",
+    "GBpc-EUC": "gb2312",
+    "GBK-EUC": "gbk",
+    "GBKp-EUC": "gbk",
+    "GBK2K": "gb18030",
+    "UniGB-UCS2": "utf_16_be",
+    "UniGB-UTF16": "utf_16_be",
+    # Adobe-CNS1 (Traditional Chinese)
+    "B5": "big5",
+    "B5pc": "big5",
+    "ETen-B5": "cp950",
+    "ETenms-B5": "cp950",
+    "UniCNS-UCS2": "utf_16_be",
+    "UniCNS-UTF16": "utf_16_be",
+    # Adobe-Japan1
+    "EUC": "euc_jp",
+    "90ms-RKSJ": "cp932",
+    "90msp-RKSJ": "cp932",
+    "90pv-RKSJ": "cp932",
+    "83pv-RKSJ": "cp932",
+    "Add-RKSJ": "cp932",
+    "Ext-RKSJ": "cp932",
+    "UniJIS-UCS2": "utf_16_be",
+    "UniJIS-UCS2-HW": "utf_16_be",
+    "UniJIS-UTF16": "utf_16_be",
+    "UniJIS2004-UTF16": "utf_16_be",
+    # Adobe-Korea1 / Adobe-KR
+    "KSC-EUC": "euc_kr",
+    "KSCpc-EUC": "euc_kr",
+    "KSCms-UHC": "cp949",
+    "KSCms-UHC-HW": "cp949",
+    "UniKS-UCS2": "utf_16_be",
+    "UniKS-UTF16": "utf_16_be",
+    "UniAKR-UTF16": "utf_16_be",
+}
+
+
+def _predefined_cmap_decoder(name: str):
+    """Text decoder for a predefined CJK CMap /Encoding name, or None if
+    the name is not a known predefined CMap (``_PREDEFINED_CMAP_CODECS``
+    documents the mapping rationale). Undecodable sequences become
+    U+FFFD — the same replacement contract as ``_identity_cid_decoder``,
+    preserving character count and structure instead of mojibake."""
+    base = name[:-2] if name.endswith(("-H", "-V")) else name
+    codec = _PREDEFINED_CMAP_CODECS.get(base)
+    if codec is None:
+        return None
+    return lambda bs: bs.decode(codec, errors="replace")
+
+
 def _identity_cid_decoder(ucs: bool):
     """2-byte big-endian CID stream decoder for Identity-H/V fonts with
     no ToUnicode. ``ucs=True`` (descendant /CIDSystemInfo has Ordering
@@ -1341,6 +1408,10 @@ def _font_decoder(pdf: "_PdfFile", font: dict):
         return _identity_cid_decoder(
             _cid_ordering(pdf, font).upper() in ("UCS", "UCS2")
         )
+    if isinstance(enc, _Name):
+        cjk = _predefined_cmap_decoder(str(enc))
+        if cjk is not None:
+            return cjk
     table: Optional[List[str]] = None
     if isinstance(enc, _Name):
         codec = _BASE_ENCODINGS.get(str(enc))

@@ -23,7 +23,11 @@ and/or ``{"tounicode": {"codespace": 1|2, "bfchar": {code: str},
 "bfrange": [(lo, hi, start_str)]}}`` (the CMap ships as a stream object).
 ``{"type0": "UCS"|"Identity"}`` builds a composite Identity-H font whose
 descendant CIDFontType2 carries that /CIDSystemInfo /Ordering, and page
-text serializes as 2-byte hex show strings (CID == UTF-16BE code unit) —
+text serializes as 2-byte hex show strings (CID == UTF-16BE code unit);
+``{"type0_cjk": "<cmap>-H" | ("<cmap>-H", "<Ordering>")}`` builds a
+composite font with that PREDEFINED CJK CMap /Encoding name
+(e.g. ``"UniGB-UCS2-H"``, ``"90ms-RKSJ-H"``), serializing string items
+as hex show strings in the CMap's code encoding —
 the no-ToUnicode CID fixture.
 
 Content streams are FlateDecode-compressed when ``compress=True`` —
@@ -148,7 +152,10 @@ def _is_text(item: PageItem) -> bool:
 
 
 def _page_content(
-    items: Sequence[PageItem], image_names: List[str], utf16: bool = False
+    items: Sequence[PageItem],
+    image_names: List[str],
+    utf16: bool = False,
+    text_codec: Optional[str] = None,
 ) -> bytes:
     """Serialize items IN ORDER: each contiguous run of text lines gets
     its own BT/ET block and images emit in place, so text-image-text
@@ -164,14 +171,14 @@ def _page_content(
             run: List[bytes] = []
             while idx < len(items) and _is_text(items[idx]):
                 it = items[idx]
-                if utf16:
-                    # Identity-H composite font: show-text carries 2-byte
-                    # codes as a hex string (CID == UTF-16BE code unit);
-                    # rawtext bytes pass through verbatim (caller-built
-                    # code sequences).
-                    raw = (
-                        it.encode("utf-16-be") if isinstance(it, str) else it[1]
-                    )
+                if utf16 or text_codec:
+                    # Composite font: show-text carries the code bytes
+                    # as a hex string — UTF-16BE code units for
+                    # Identity-H, or the predefined CMap's national
+                    # encoding (``text_codec``); rawtext bytes pass
+                    # through verbatim (caller-built code sequences).
+                    codec = text_codec or "utf-16-be"
+                    raw = it.encode(codec) if isinstance(it, str) else it[1]
                     run.append(b"<" + raw.hex().encode() + b">")
                 else:
                     body = (
@@ -591,7 +598,34 @@ def build_pdf(
                 parts.append(f"/Differences [ {ser} ]")
             font_extra += f" /Encoding << {' '.join(parts)} >>"
     utf16_text = False
-    if font_spec and "type0" in font_spec:
+    page_text_codec: Optional[str] = None
+    if font_spec and "type0_cjk" in font_spec:
+        # Composite font with a PREDEFINED CJK CMap /Encoding name
+        # (e.g. "UniGB-UCS2-H", "90ms-RKSJ-H"): show strings carry code
+        # bytes in the CMap's national encoding / UTF-16. The descendant
+        # /CIDSystemInfo /Ordering is cosmetic for extraction (the
+        # decoder keys on the /Encoding name) but serialized for realism.
+        spec = font_spec["type0_cjk"]
+        cmap_name, ordering = spec if isinstance(spec, tuple) else (spec, "GB1")
+        from ebook_conversion_to_text_for_machine_learning_spark.sources.pdf_text import (
+            _PREDEFINED_CMAP_CODECS,
+        )
+
+        base = cmap_name[:-2] if cmap_name.endswith(("-H", "-V")) else cmap_name
+        page_text_codec = _PREDEFINED_CMAP_CODECS[base]
+        desc_num = next_num
+        next_num += 1
+        bodies[desc_num] = (
+            "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake "
+            "/CIDSystemInfo << /Registry (Adobe) "
+            f"/Ordering ({ordering}) /Supplement 0 >> >>"
+        ).encode()
+        bodies[3] = (
+            "<< /Type /Font /Subtype /Type0 /BaseFont /Fake "
+            f"/Encoding /{cmap_name} /DescendantFonts [{desc_num} 0 R]"
+            f"{font_extra} >>"
+        ).encode()
+    elif font_spec and "type0" in font_spec:
         # Composite Identity-H font: /DescendantFonts carries the
         # CIDFontType2 dict whose /CIDSystemInfo /Ordering the extractor
         # inspects; page text serializes as 2-byte hex show strings.
@@ -629,7 +663,9 @@ def build_pdf(
             f"/Contents {content_nums[pi]} 0 R >>"
         ).encode()
 
-        content = _page_content(items, names, utf16=utf16_text)
+        content = _page_content(
+            items, names, utf16=utf16_text, text_codec=page_text_codec
+        )
         filt = content_filter or ("FlateDecode" if compress else None)
         if filt:
             data = encode_stream(content, filt)

@@ -476,6 +476,69 @@ def test_identity_h_cid_font_without_tounicode(tmp_path):
     assert pdf_file_to_spans(f3)[0][1] == "日本\n"
 
 
+def test_predefined_cjk_cmap_fonts(tmp_path):
+    """Composite fonts whose /Encoding is a PREDEFINED CJK CMap (r4
+    verdict item 6): the code space of each supported CMap is a national
+    text encoding or UTF-16 itself, so hand-pinned code-byte sequences
+    decode to the exact CJK text (pdfminer-equivalent for these files),
+    and undecodable sequences become U+FFFD, never mojibake."""
+    from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
+        build_pdf,
+    )
+
+    # hand-pinned code bytes per CMap (encoding tables are public):
+    # UniGB-UCS2-H: UCS-2 code units; 90ms-RKSJ-H: Shift-JIS (cp932);
+    # KSC-EUC-H: EUC-KR; B5pc-H: Big5.
+    cases = [
+        ("UniGB-UCS2-H", "GB1", b"\x4e\x2d\x65\x87", "中文"),
+        ("90ms-RKSJ-H", "Japan1", b"\x93\xfa\x96\x7b\x8c\xea", "日本語"),
+        ("KSC-EUC-H", "Korea1", b"\xc7\xd1\xb1\xb9", "한국"),
+        ("B5pc-H", "CNS1", b"\xa4\xa4\xa4\xe5", "中文"),
+    ]
+    for cmap, ordering, raw, want in cases:
+        data, _ = build_pdf(
+            [[("rawtext", raw)]], font_spec={"type0_cjk": (cmap, ordering)}
+        )
+        f = tmp_path / f"{cmap}.pdf"
+        f.write_bytes(data)
+        assert pdf_file_to_spans(f)[0][1] == want + "\n", cmap
+
+    # string items round-trip through the fixture's codec serialization
+    # (mixed ASCII + CJK exercises the variable-width encodings)
+    data, _ = build_pdf(
+        [["Chapter 1", "日本語 text here."]],
+        font_spec={"type0_cjk": ("90ms-RKSJ-H", "Japan1")},
+    )
+    f = tmp_path / "rkjs_roundtrip.pdf"
+    f.write_bytes(data)
+    assert [s[1] for s in pdf_file_to_spans(f)] == [
+        "Chapter 1\n", "日本語 text here.\n"
+    ]
+
+    # undecodable code bytes: replacement char, count-preserving-ish,
+    # never Latin-1 mojibake
+    data, _ = build_pdf(
+        [[("rawtext", b"\xff\xff\xff")]],
+        font_spec={"type0_cjk": ("GB-EUC-H", "GB1")},
+    )
+    f = tmp_path / "gb_bad.pdf"
+    f.write_bytes(data)
+    out = pdf_file_to_spans(f)[0][1]
+    assert set(out) == {"�", "\n"}, out
+
+    # a ToUnicode CMap on the same font stays authoritative
+    data, _ = build_pdf(
+        [[("rawtext", b"\x4e\x2d")]],
+        font_spec={
+            "type0_cjk": ("UniGB-UCS2-H", "GB1"),
+            "tounicode": {"codespace": 2, "bfchar": {0x4E2D: "X"}},
+        },
+    )
+    f = tmp_path / "gb_tu.pdf"
+    f.write_bytes(data)
+    assert pdf_file_to_spans(f)[0][1] == "X\n"
+
+
 def test_differences_encoding_maps_glyph_names(tmp_path):
     from ebook_conversion_to_text_for_machine_learning_spark.testing.pdf_fixture import (
         build_pdf,

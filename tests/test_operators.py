@@ -798,6 +798,68 @@ def test_arrow_lut_paths_reject_non_integral_ids(spark):
         )
 
 
+def test_pq_adc_cell_scan_superset_of_topk_with_exact_scores(spark):
+    """The inverted-list kernel (candidate pairing inside numpy, never
+    as Spark rows) must emit — per probe — a SUPERSET of the global
+    (adc ASC, item ASC) top-R pairs over that probe's cells, with
+    integers identical to the pre-paired kernel's; the downstream
+    row_number shortlist is therefore path-independent."""
+    import collections
+
+    from ebook_conversion_to_text_for_machine_learning_spark.operators.similarity import (
+        _probe_cells_local,
+        ivf_assign_arrow,
+        ivf_centroids,
+        pq_adc_cell_scan_arrow,
+        pq_adc_scores_arrow,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, target_cells=8)
+    books = pq_codebooks(emb, m=2, target_codes=8)
+    cells = ivf_assign_arrow(emb, cents)
+    codes = pq_encode(emb, books)
+    probes = emb.where(F.col("vec_id") < 6)
+    r = 5
+
+    cwc = codes.select(F.col("vec_id").alias("item_id"), "codes").join(
+        cells.select(F.col("vec_id").alias("item_id"), "cell_id"), "item_id"
+    )
+    got = {
+        (x.probe_id, x.item_id): x.adc_x10k
+        for x in pq_adc_cell_scan_arrow(
+            cwc, probes, cents, books, nprobe=2, per_probe_r=r
+        ).collect()
+    }
+
+    # reference: pre-paired kernel over the SAME candidate set, unpruned
+    rows = probes.select("vec_id", "embedding").collect()
+    pc = _probe_cells_local(spark, rows, cents, nprobe=2, id_type="bigint")
+    cand = (
+        cells.join(F.broadcast(pc), cells.cell_id == pc.probe_cell)
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("item_id"))
+        .join(codes.select(F.col("vec_id").alias("item_id"), "codes"), "item_id")
+    )
+    ref = {
+        (x.probe_id, x.item_id): x.adc_x10k
+        for x in pq_adc_scores_arrow(cand, probes, books).collect()
+    }
+
+    assert set(got) <= set(ref)  # never invents a pair
+    for pair, q in got.items():
+        assert q == ref[pair], pair  # identical integers
+    by_probe = collections.defaultdict(list)
+    for (p, i), q in ref.items():
+        by_probe[p].append((q, i))
+    for p, scored in by_probe.items():
+        top = {i for _, i in sorted(scored)[:r]}
+        kept = {i for (pp, i) in got if pp == p}
+        assert top <= kept, (p, top - kept)  # global top-R survives
+
+
 def test_pq_index_round_trip_identical_topk(spark, tmp_path):
     import random
 
