@@ -61,13 +61,13 @@ emb = spark.read.parquet({src!r})
 # The first attempt's orig + i*10M scheme made every sampled id a copy
 # of vector 0 (10M % stride == 0) -> 64 identical centroids -> the
 # whole corpus in one cell.
-parts = [emb.select((F.col("vec_id") * {x} + F.lit(i)).alias("vec_id"),
-                    "embedding")
-         for i in range({x})]
-big = parts[0]
-for p in parts[1:]:
-    big = big.union(p)
-big.repartition(64).write.mode("overwrite").parquet({corpus!r})
+# explode instead of an x-way union: the union plan grows one scan per
+# replica (4096-way unions stall the analyzer); the explode is one scan.
+big = emb.select(
+    F.explode(F.sequence(F.lit(0), F.lit({x} - 1))).alias("_i"),
+    "vec_id", "embedding",
+).select((F.col("vec_id") * {x} + F.col("_i")).alias("vec_id"), "embedding")
+big.repartition(max(64, {x} // 16)).write.mode("overwrite").parquet({corpus!r})
 corpus = spark.read.parquet({corpus!r})
 S.write_ann_index(corpus, {dim}, {ann_idx!r}, target_cells={cells})
 S.write_pq_index(corpus, {pq_idx!r})
