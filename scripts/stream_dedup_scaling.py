@@ -71,11 +71,23 @@ q.awaitTermination()
 wall = time.time() - t0
 n_out = spark.read.parquet(f"{{work_dir}}/out").count()
 assert n_out == n_docs, (n_out, n_docs)
-n_triggers = len(q.recentProgress)
+progress = [p for p in q.recentProgress if p.get("numInputRows")]
+n_triggers = len(progress)
+# Per-trigger wall breakdown (measurement note 2): addBatch is the
+# foreachBatch body (dedup + probe + append — the parallelizable part);
+# the rest (offset log, WAL/checkpoint commits, planning, trigger
+# turnaround) is the serial streaming floor no core count touches.
+dur = {{}}
+for p in progress:
+    for key, ms in (p.get("durationMs") or {{}}).items():
+        dur[key] = dur.get(key, 0.0) + ms / 1000.0
+breakdown = {{key: round(v / max(n_triggers, 1), 2)
+              for key, v in sorted(dur.items())}}
 print(json.dumps({{"cpus": cpus, "sec": round(wall, 3),
                    "docs_per_sec": round(n_docs / wall, 1),
                    "triggers": n_triggers,
-                   "sec_per_trigger": round(wall / max(n_triggers, 1), 2)}}))
+                   "sec_per_trigger": round(wall / max(n_triggers, 1), 2),
+                   "per_trigger_durationMs_mean_sec": breakdown}}))
 spark.stop()
 """
 
