@@ -144,14 +144,17 @@ def main() -> None:
         "per-stage table explodes from that row at constant cost.",
     )
     add(
-        "PQ ADC top-k (codes explode → broadcast tables → integer sum)",
+        "PQ ADC top-k (Arrow LUT-gather full scan)",
         queries["pq_ann_topk"](spark, sf_dir),
         "MapInPandas encodes each Arrow batch against the broadcast-size "
-        "codebook; codes posexplode to m narrow int rows; the probe "
-        "distance tables join by BroadcastHashJoin; the ADC sum is a "
-        "partial aggregate and the top-k uses WindowGroupLimit (map-side "
-        "rank pruning before the exchange). Raw embeddings never enter "
-        "the scan when a persisted codes table is passed "
+        "codebook; a second MapInPandas scores each accumulated ~64k-row "
+        "batch of codes against the full probe LUT with one numpy gather "
+        "and keeps a batch-local top-k, so no explode, no broadcast-hash "
+        "join, and only top-k-per-batch rows reach the final "
+        "WindowGroupLimit exchange. The join formulation survives as the "
+        "oracle twin (scan_path=\"join\"); path agreement is pinned by "
+        "tests/test_operators.py. Raw embeddings never enter the scan "
+        "when a persisted codes table is passed "
         "(tests/test_plans.py::test_pq_adc_scan_reads_codes_not_vectors).",
     )
     add(
