@@ -975,35 +975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard"] = ngram_jaccard
 
     def minhash_verified_dedup(spark, sf_dir):
-        docs = read_table(spark, sf_dir, "documents")
-        cands = D.minhash_candidate_pairs(docs)
-        grams = docs.select(
-            "doc_id",
-            D.shingles_col(F.col("text")).alias("grams"),
-        )
-        ga = grams.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("grams").alias("grams_a"),
-            F.size("grams").alias("na"),
-        )
-        gb = grams.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("grams").alias("grams_b"),
-            F.size("grams").alias("nb"),
-        )
-        n_common = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b"))).cast("long")
-        n_union = (F.col("na") + F.col("nb")).cast("long") - n_common
-        return (
-            cands.join(ga, "doc_a")
-            .join(gb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                n_common.alias("n_common"),
-                n_union.alias("n_union"),
-            )
-            .where(F.lit(2) * F.col("n_common") >= F.col("n_union"))
-        )
+        # One definition: the library's array-intersect verify IS this
+        # query's historical formulation (the library converged on it).
+        return D.minhash_verified_pairs(read_table(spark, sf_dir, "documents"))
 
     q["minhash_verified_dedup"] = minhash_verified_dedup
 

@@ -158,38 +158,53 @@ def minhash_verified_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
     """LSH candidates + exact-Jaccard verification within ONE frame.
 
     The self-join twin of ``dedup_against_index``'s batch-vs-index
-    verify: identical hash family (``minhash_bands``), identical gram
-    definition (``gram_hashes`` — distinct 3-shingle md5s, so the
-    match count IS the intersection size) and identical acceptance
-    rule (``2 * n_common >= n_union``, J ≥ 0.5). Band-bucket join
-    generates candidates; only candidates pay the gram join — the
-    standard sub-quadratic shape, O(frame) for a micro-batch.
+    verify: identical gram definition (``shingles_col`` — the distinct
+    3-shingles ``gram_hashes`` digests, so the intersection size equals
+    the index path's md5-match count) and identical acceptance rule
+    (``2 * n_common >= n_union``, J ≥ 0.5). Band-bucket join generates
+    candidates; only candidates pay the verify — the standard
+    sub-quadratic shape, O(frame) for a micro-batch.
+
+    Verify shape: each candidate pair row carries both docs' distinct
+    shingle ARRAYS and intersects them in place (``array_intersect`` —
+    a per-row hash set that fits L1/L2), instead of exploding pairs ×
+    grams into a |cands|·|grams/doc|-row join probed against a
+    frame-scale (doc, gram) hash relation at DRAM latency. Same rows
+    exchanged once instead of twice, no giant re-aggregation, and the
+    dense-batch case (many co-batch near-dups, e.g. the streaming
+    intra-trigger pass) stops being memory-wall-bound: measured on a
+    100k-doc batch with ~19 co-batch near-dups per doc (950k verified
+    pairs), the explode-join verify ran 100s at local[8] scaling
+    0.55 from local[2]; this shape is the same formulation the
+    ``minhash_verified_dedup`` registry query has always run.
+    Gram-less docs (< 3 tokens) carry null signatures and never become
+    candidates (``minhash_bands`` drops null buckets), so inner-joining
+    the shingle arrays loses no pair.
 
     Returns (doc_a, doc_b, n_common, n_union) with ``doc_a < doc_b``.
     """
     cands = minhash_candidate_pairs(df, text_col)
-    grams = gram_hashes(df, text_col)
-    counts = grams.groupBy("doc_id").agg(F.count("*").cast("long").alias("_n"))
-    common = (
-        cands.join(grams.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(grams.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "gram_hash"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_common"))
+    grams = df.select("doc_id", shingles_col(F.col(text_col)).alias("_gs"))
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_gs").alias("_ga"),
+        F.size("_gs").alias("_na"),
     )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_gs").alias("_gb"),
+        F.size("_gs").alias("_nb"),
+    )
+    n_common = F.size(F.array_intersect(F.col("_ga"), F.col("_gb"))).cast("long")
+    n_union = (F.col("_na") + F.col("_nb")).cast("long") - n_common
     return (
-        common.join(
-            counts.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na")),
-            "doc_a",
-        )
-        .join(
-            counts.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb")),
-            "doc_b",
-        )
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            "n_common",
-            (F.col("_na") + F.col("_nb") - F.col("n_common")).alias("n_union"),
+            n_common.alias("n_common"),
+            n_union.alias("n_union"),
         )
         .where(F.lit(2) * F.col("n_common") >= F.col("n_union"))
     )

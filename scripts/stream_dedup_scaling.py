@@ -96,13 +96,25 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--batches", type=int, default=8)
-    ap.add_argument("--x", type=int, default=4, help="corpus replication factor")
+    ap.add_argument("--x", type=int, default=4, help="near-dup variants per base doc")
+    ap.add_argument(
+        "--bases",
+        type=int,
+        default=1,
+        help="UNIQUE-base replication factor: each extra copy j>0 gets a "
+        "per-copy salt token inserted every 2 words, so every 3-shingle "
+        "contains the salt and copies share no shingles (J=0 across "
+        "copies, no cross-copy candidates). Grows trigger size at "
+        "CONSTANT near-dup density — the --x axis alone also multiplies "
+        "co-batch variants per base, i.e. verify pairs per doc.",
+    )
     ap.add_argument("--compact-every", type=int, default=4)
     args = ap.parse_args()
 
     tmp = tempfile.gettempdir()
+    bases_tag = f"_bs{args.bases}" if args.bases > 1 else ""
     in_root = os.path.join(
-        tmp, f"stream_dedup_scaling_in_x{args.x}_b{args.batches}"
+        tmp, f"stream_dedup_scaling_in_x{args.x}_b{args.batches}{bases_tag}"
     )
     meta_path = os.path.join(in_root, "_meta.json")
     if not os.path.exists(meta_path):
@@ -115,10 +127,24 @@ spark = build_session(master="local[8]", shuffle_partitions=16)
 spark.sparkContext.setLogLevel("ERROR")
 d = spark.read.parquet({os.path.join(args.sf_dir, "documents.parquet")!r})
 d = d.select("doc_id", "lang", "text")
-parts = [d.withColumn("doc_id", F.col("doc_id") * {args.x} + F.lit(i))
-          .withColumn("text", F.when(F.lit(i == 0), F.col("text"))
-                               .otherwise(F.concat(F.col("text"), F.lit(f" v{{i}}"))))
-         for i in range({args.x})]
+parts = []
+for j in range({args.bases}):
+    s = d if j == 0 else d.withColumn(
+        "text",
+        F.regexp_replace("text", r"(\S+\s+\S+\s+)", "$1ub{{}}s ".format(j)),
+    )
+    for i in range({args.x}):
+        parts.append(
+            s.withColumn(
+                "doc_id",
+                (F.col("doc_id") * {args.bases} + j) * {args.x} + i,
+            ).withColumn(
+                "text",
+                F.when(F.lit(i == 0), F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" v{{}}".format(i)))
+                ),
+            )
+        )
 big = parts[0]
 for p in parts[1:]:
     big = big.union(p)
