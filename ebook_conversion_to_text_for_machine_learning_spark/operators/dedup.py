@@ -540,12 +540,19 @@ def dedup_against_index(
     (``minhash_signatures``/``minhash_bands``); a band-bucket join — the
     same narrow-key shuffle as ``minhash_candidate_pairs``, with the
     index side replacing the self-join — yields (batch doc, indexed doc)
-    candidates, and exact Jaccard verifies them by joining the batch's
-    gram hashes against the index's ``grams/`` rows on
-    ``(dup_of, gram_hash)`` and counting matches (shingles are distinct
-    per doc, so match count == intersection size; n_union derives from
-    the two per-doc gram counts). Same acceptance rule as
-    ``minhash_verified_dedup``: ``2 * n_common >= n_union`` (J >= 0.5).
+    candidates, and exact Jaccard verifies them by collecting each
+    side's gram hashes into per-doc arrays and intersecting in place on
+    the candidate row (``array_intersect``; shingles are distinct per
+    doc, so intersection size == the match count the former
+    ``(dup_of, gram_hash)`` join produced, without the pair×gram
+    explosion probed against a hash relation at DRAM latency — see
+    ``minhash_verified_pairs``). The index-side arrays are built from
+    the pfx-PRUNED gram scan, which loses no intersection element: a
+    pruned-away gram's prefix appears in no batch gram, so it could
+    never match. ``n_union`` derives from the batch array size and the
+    ``counts/`` table's FULL per-doc totals (never the pruned scan).
+    Same acceptance rule as ``minhash_verified_dedup``:
+    ``2 * n_common >= n_union`` (J >= 0.5).
 
     Index-side scans PARTITION-PRUNE on the batch's realized ``pfx``
     sets: the batch bands/grams are materialized once (localCheckpoint —
@@ -609,9 +616,6 @@ def dedup_against_index(
     ]
     if "pfx" in idx_grams.columns:
         idx_grams = idx_grams.where(F.col("pfx").isin(gram_pfx or [-1]))
-    n_batch = b_grams.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("_nb")
-    )
     # Index-side totals come from the precomputed counts/ table — never a
     # corpus-scale aggregate of grams/ at query time (that would break
     # the cost-scales-with-the-batch contract).
@@ -628,15 +632,35 @@ def dedup_against_index(
         idx_grams.withColumnRenamed("doc_id", "dup_of")
         .join(F.broadcast(cands.select("dup_of").distinct()), "dup_of", "left_semi")
     )
-    common = (
-        cands.join(b_grams, "doc_id")
-        .join(cand_grams, ["dup_of", "gram_hash"])
-        .groupBy("doc_id", "dup_of")
-        .agg(F.count("*").cast("long").alias("n_common"))
+    # Verify by in-place array intersection (the minhash_verified_pairs
+    # shape): each side's distinct gram hashes are collected ONCE per doc
+    # and carried on the candidate row, so a candidate index doc's grams
+    # ship once instead of once per pair and the intersection is a
+    # per-row set that fits L1/L2 — not a pair×gram explosion probed
+    # against a candidate-corpus-scale hash relation at DRAM latency
+    # (measured on the intra twin: 2× faster at local[8], 2→8 phase
+    # scaling 0.551 → 0.867). Intersection size == match count because
+    # grams are distinct per doc on both sides — the same invariant the
+    # previous (dup_of, gram_hash) join counted on.
+    b_arr = b_grams.groupBy("doc_id").agg(
+        F.collect_list("gram_hash").alias("_ba")
+    )
+    i_arr = cand_grams.groupBy("dup_of").agg(
+        F.collect_list("gram_hash").alias("_ia")
     )
     return (
-        common.join(n_batch, "doc_id")
+        cands.join(b_arr, "doc_id")
+        .join(i_arr, "dup_of")
         .join(n_idx.withColumnRenamed("doc_id", "dup_of"), "dup_of")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.size(F.array_intersect(F.col("_ba"), F.col("_ia")))
+            .cast("long")
+            .alias("n_common"),
+            F.size("_ba").cast("long").alias("_nb"),
+            F.col("_ni"),
+        )
         .select(
             "doc_id",
             "dup_of",
