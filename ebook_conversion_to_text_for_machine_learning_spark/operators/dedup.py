@@ -625,9 +625,9 @@ def dedup_against_index(
     n_idx = n_idx.select("doc_id", F.col("n_grams").alias("_ni"))
     # Prefilter the corpus-scale gram table with a BROADCAST semi-join on
     # the (batch-scale) candidate set: grams/ is scanned but never
-    # shuffled — only the candidates' gram rows enter the verify
-    # exchange. Without this the (dup_of, gram_hash) join would shuffle
-    # the whole index.
+    # shuffled — only the candidates' gram rows enter the array-collect
+    # exchange below. Without this the per-doc collect would shuffle the
+    # whole index.
     cand_grams = (
         idx_grams.withColumnRenamed("doc_id", "dup_of")
         .join(F.broadcast(cands.select("dup_of").distinct()), "dup_of", "left_semi")
